@@ -1,0 +1,45 @@
+"""Render configuration (static under jit).
+
+The reference scatters its knobs as inline magic constants (SURVEY.md §5.6:
+texture width 2048, ×4 Σ scale, 0.3 low-pass at vertex.glsl.ts:158-159,
+1.2 cull guard, exp(-4) cutoff at frag.glsl.ts:15). Here they are one
+hashable config object used as a static jit argument.
+
+Defaults are graphdeco-compatible (the BASELINE correctness oracle):
+  - low-pass: cov2d diagonal += 0.3  (same constant as the reference)
+  - cull: z < 0.2
+  - footprint radius: ceil(3·sqrt(λ_max))
+  - alpha: min(0.99, opacity·exp(power)); skip below 1/255
+  - termination: stop before a splat would push transmittance below 1e-4
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    tile_size: int = 16
+    # static pair-expansion budget: each splat may emit up to tile_span²
+    # (tile_span × tile_span tile rect) pairs; larger footprints are clamped
+    # (clamped-splat count is reported in RenderAux.n_clamped).
+    tile_span: int = 3
+    # per-tile list capacity for the padded-list (XLA) backend; overflow is
+    # dropped far-to-near and counted in RenderAux.n_tile_overflow.
+    tile_list_cap: int = 1024
+    chunk: int = 128  # splat chunk per compositing step
+    near_cull: float = 0.2
+    lowpass: float = 0.3
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    transmittance_eps: float = 1e-4
+    radius_sigma: float = 3.0
+    background: tuple = (0.0, 0.0, 0.0)
+    backend: str = "auto"  # oracle | xla | pallas | auto
+
+    def tiles_x(self, width: int) -> int:
+        return -(-width // self.tile_size)
+
+    def tiles_y(self, height: int) -> int:
+        return -(-height // self.tile_size)

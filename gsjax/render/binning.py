@@ -1,0 +1,122 @@
+"""Tile binning: build per-tile, depth-ordered splat lists on device.
+
+This generalizes the reference's native depth sorter — the C++/WASM
+16-bit counting sort over all splats (/root/reference/wasm/wasm.cpp:33-51,
+dispatched asynchronously from a Web Worker, Worker.ts:36-43) — to the
+(tile, depth) radix key that tile-based rasterization needs, running
+synchronously inside the jitted step (SURVEY §2.2: the async worker has no
+TPU analogue; the sort is a device op).
+
+Mechanism (XLA backend):
+  1. pair expansion — each splat emits up to tile_span² (tile, depth-key)
+     pairs covering its footprint rect, enumerated in a static slot grid
+     (static shapes; oversized footprints are clamped and counted),
+  2. one `lax.sort` over packed u32 keys (tile ≪ 19 | depth), payload =
+     splat id — tile-major, then near-to-far, stable in splat order, which
+     matches the oracle's stable depth argsort exactly,
+  3. per-tile segment starts by binary search over the sorted keys
+     (8k queries into the sorted array — the cheap direction on TPU).
+
+Empirically on v5e, XLA's sort is ~2.5 ms/M pairs and dominates binning;
+a fused Pallas radix-partition pass is the planned replacement (see
+render/DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gsjax.core.camera import Camera
+from gsjax.core.config import RenderConfig
+from gsjax.render.common import (
+    DEPTH_BITS,
+    MAX_TILES,
+    clamp_rect_to_span,
+    depth_key,
+    tile_rect,
+)
+from gsjax.render.project import ProjectedSplats
+
+INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["sid_sorted", "tile_starts", "tile_counts", "n_clamped", "n_pairs"],
+    meta_fields=["tiles_x", "tiles_y"],
+)
+@dataclasses.dataclass(frozen=True)
+class TileBins:
+    """sid_sorted [P] int32 splat ids, tile-major / near-to-far;
+    tile_starts [T+1] int32 segment offsets into sid_sorted;
+    tile_counts [T] int32; n_clamped, n_pairs: scalar diagnostics."""
+
+    sid_sorted: jax.Array
+    tile_starts: jax.Array
+    tile_counts: jax.Array
+    n_clamped: jax.Array
+    n_pairs: jax.Array
+    tiles_x: int
+    tiles_y: int
+
+
+def build_tile_bins(p: ProjectedSplats, cam: Camera, cfg: RenderConfig) -> TileBins:
+    n = p.depth.shape[0]
+    span = cfg.tile_span
+    k_slots = span * span
+    tiles_x = cfg.tiles_x(cam.width)
+    tiles_y = cfg.tiles_y(cam.height)
+    n_tiles = tiles_x * tiles_y
+    if n_tiles > MAX_TILES:
+        raise ValueError(
+            f"{n_tiles} tiles exceeds the {MAX_TILES} addressable by the "
+            f"packed radix key; increase tile_size"
+        )
+
+    x0, y0, x1, y1 = tile_rect(p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size)
+    x0, y0, x1, y1, clamped = clamp_rect_to_span(
+        x0, y0, x1, y1, p.mean2d, cfg.tile_size, span
+    )
+    n_clamped = jnp.sum(clamped & p.valid)
+
+    dkey = depth_key(p.depth)  # [N]
+
+    slot = jnp.arange(k_slots, dtype=jnp.int32)
+    sx = (slot % span)[None, :]  # [1, K]
+    sy = (slot // span)[None, :]
+    txs = x0[:, None] + sx  # [N, K]
+    tys = y0[:, None] + sy
+    pair_ok = (
+        p.valid[:, None]
+        & (txs < x1[:, None])
+        & (tys < y1[:, None])
+    )
+    tile = (tys * tiles_x + txs).astype(jnp.uint32)
+    keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
+    keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)
+
+    sids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_slots)
+    ).reshape(-1)
+
+    k_sorted, sid_sorted = jax.lax.sort((keys, sids), num_keys=1, is_stable=True)
+
+    tile_of = (k_sorted >> jnp.uint32(DEPTH_BITS)).astype(jnp.int32)
+    tile_starts = jnp.searchsorted(
+        tile_of, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_counts = tile_starts[1:] - tile_starts[:-1]
+
+    return TileBins(
+        sid_sorted=sid_sorted,
+        tile_starts=tile_starts,
+        tile_counts=tile_counts,
+        n_clamped=n_clamped,
+        n_pairs=jnp.sum(pair_ok.astype(jnp.int32)),
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+    )

@@ -1,0 +1,71 @@
+"""Shared pieces of the rasterization pipeline used by every backend
+(oracle / xla / pallas), so that all backends agree bit-closely.
+
+Depth ordering: the reference sorts on a 16-bit normalized depth key
+(/root/reference/wasm/wasm.cpp:16-39); graphdeco sorts on raw f32 depth.
+We sort on the top 19 bits of the positive-f32 bit pattern (monotone in
+depth), which packs together with a 13-bit tile id into one u32 radix key
+— the TPU generalization of the reference's (depth-only) counting-sort key
+to the (tile, depth) key demanded by tile-based rasterization.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+DEPTH_BITS = 19
+TILE_BITS = 32 - DEPTH_BITS  # 13 → up to 8192 tiles
+MAX_TILES = (1 << TILE_BITS) - 1  # key with tile == MAX_TILES ⇒ invalid pair
+
+
+def depth_key(depth: jnp.ndarray) -> jnp.ndarray:
+    """Monotone uint32 key (DEPTH_BITS wide) for positive f32 depths."""
+    bits = jnp.asarray(depth, jnp.float32).view(jnp.uint32)
+    return (bits >> jnp.uint32(32 - DEPTH_BITS)).astype(jnp.uint32)
+
+
+def tile_rect(mean2d, radius, tiles_x, tiles_y, tile_size):
+    """Inclusive-min/exclusive-max tile rect per splat (graphdeco getRect).
+
+    Returns (x0, y0, x1, y1) int32 arrays; empty rect for culled splats
+    (radius == 0 yields x0 == x1 at the clamped mean tile — callers must
+    also check validity).
+    """
+    mx, my = mean2d[..., 0], mean2d[..., 1]
+    x0 = jnp.clip(jnp.floor((mx - radius) / tile_size), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - radius) / tile_size), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.floor((mx + radius + tile_size - 1) / tile_size), 0, tiles_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        jnp.floor((my + radius + tile_size - 1) / tile_size), 0, tiles_y
+    ).astype(jnp.int32)
+    return x0, y0, x1, y1
+
+
+def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span):
+    """Clamp a tile rect to at most span×span tiles, centered on the
+    splat's own tile (the static pair-expansion budget — see
+    RenderConfig.tile_span). Returns (x0, y0, x1, y1, clamped_mask).
+    All backends apply the same clamp so they agree exactly; the clamped
+    count is surfaced in RenderAux (no silent caps)."""
+    mtx = jnp.floor(mean2d[..., 0] / tile_size).astype(jnp.int32)
+    mty = jnp.floor(mean2d[..., 1] / tile_size).astype(jnp.int32)
+    clamped = (x1 - x0 > span) | (y1 - y0 > span)
+
+    def clamp1(lo, hi, mt):
+        over = hi - lo > span
+        lo2 = jnp.clip(mt - span // 2, lo, jnp.maximum(hi - span, lo))
+        hi2 = lo2 + span
+        return jnp.where(over, lo2, lo), jnp.where(over, hi2, hi)
+
+    x0, x1 = clamp1(x0, x1, mtx)
+    y0, y1 = clamp1(y0, y1, mty)
+    return x0, y0, x1, y1, clamped
+
+
+def gaussian_power(conic, dx, dy):
+    """Log-weight: -0.5(a dx² + 2b dx dy + c dy²). Broadcasts conic [..., 3]
+    against dx/dy pixel offsets."""
+    a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
+    return -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy

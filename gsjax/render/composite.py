@@ -1,0 +1,125 @@
+"""Tile compositing, XLA backend: per-tile front-to-back alpha blending
+over the binned, depth-ordered splat lists.
+
+This is the per-pixel hot loop of the reference — the fragment shader's
+gaussian falloff (/root/reference/src/renderers/webgl/shaders/
+frag.glsl.ts:13-21) plus the ONE_MINUS_DST_ALPHA blend state
+(WebGLRenderer.ts:141) — restructured for TPU as a chunked scan: each
+16×16 tile walks its splat list in chunks of `cfg.chunk`, with the
+termination rule folded into a virtual-cumprod carry (see
+render/oracle.py for why that is exactly graphdeco's sticky `done`).
+
+Compute shape per (tile, chunk): [256 pixels × chunk] — VPU-aligned
+(8×128 lanes); the chunk body is jax.checkpoint'ed so autodiff
+rematerializes alphas instead of storing O(pixels·pairs) residuals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gsjax.core.camera import Camera
+from gsjax.core.config import RenderConfig
+from gsjax.render.binning import TileBins
+from gsjax.render.common import gaussian_power
+from gsjax.render.project import ProjectedSplats
+
+
+def composite_tiles(
+    p: ProjectedSplats,
+    bins: TileBins,
+    cam: Camera,
+    cfg: RenderConfig,
+):
+    """Returns (img [H, W, 3], aux dict)."""
+    ts = cfg.tile_size
+    cap = cfg.tile_list_cap
+    chunk = cfg.chunk
+    assert cap % chunk == 0, "tile_list_cap must be a multiple of chunk"
+    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    n_tiles = tiles_x * tiles_y
+    n_px = ts * ts
+
+    # --- per-tile padded lists ------------------------------------------
+    counts = jnp.minimum(bins.tile_counts, cap)  # [T]
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    idx = bins.tile_starts[:-1][:, None] + lane[None, :]  # [T, cap]
+    idx = jnp.minimum(idx, bins.sid_sorted.shape[0] - 1)
+    sid = bins.sid_sorted[idx]  # [T, cap]
+    sid = jnp.where(lane[None, :] < counts[:, None], sid, 0)
+
+    # gather per-pair attributes once: [T, cap, 9]
+    att = jnp.concatenate(
+        [p.mean2d, p.conic, p.rgb, p.opacity[:, None]], axis=-1
+    )  # [N, 9]
+    att = att[sid]  # [T, cap, 9]
+
+    # --- per-tile pixel grids -------------------------------------------
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    org_x = (t_ids % tiles_x) * ts  # [T]
+    org_y = (t_ids // tiles_x) * ts
+    lx = jnp.arange(ts, dtype=jnp.float32)
+    pxl = jnp.tile(lx, ts)  # [n_px] x-local, row-major
+    pyl = jnp.repeat(lx, ts)
+    px = org_x[:, None].astype(jnp.float32) + pxl[None, :]  # [T, n_px]
+    py = org_y[:, None].astype(jnp.float32) + pyl[None, :]
+
+    eps_T = cfg.transmittance_eps
+
+    def chunk_body(carry, att_c, valid_c, px_t, py_t):
+        """One chunk for one tile. carry = (C [n_px], img [n_px,3])."""
+        C, img = carry
+        mean_x, mean_y = att_c[:, 0], att_c[:, 1]
+        conic = att_c[:, 2:5]
+        rgb = att_c[:, 5:8]
+        op = att_c[:, 8]
+        dx = px_t[:, None] - mean_x[None, :]  # [n_px, chunk]
+        dy = py_t[:, None] - mean_y[None, :]
+        power = gaussian_power(conic[None, :, :], dx, dy)
+        alpha = jnp.minimum(cfg.alpha_clamp, op[None, :] * jnp.exp(power))
+        eligible = valid_c[None, :] & (alpha >= cfg.alpha_min) & (power <= 0.0)
+        f = jnp.where(eligible, 1.0 - alpha, 1.0)
+        Cc = C[:, None] * jnp.cumprod(f, axis=1)  # virtual inclusive T
+        include = eligible & (Cc >= eps_T)
+        w = jnp.where(include, (Cc / f) * alpha, 0.0)  # [n_px, chunk]
+        img = img + jnp.matmul(w, rgb, precision="highest")
+        return (Cc[:, -1], img)
+
+    chunk_body = jax.checkpoint(chunk_body)
+
+    def tile_fn(att_t, count_t, px_t, py_t):
+        att_s = att_t.reshape(cap // chunk, chunk, att_t.shape[-1])
+        lane_c = jnp.arange(chunk, dtype=jnp.int32)
+
+        def body(carry, inp):
+            att_c, k = inp
+            valid_c = (k * chunk + lane_c) < count_t
+            return chunk_body(carry, att_c, valid_c, px_t, py_t), None
+
+        init = (jnp.ones(n_px, jnp.float32), jnp.zeros((n_px, 3), jnp.float32))
+        (C, img), _ = jax.lax.scan(
+            body, init, (att_s, jnp.arange(cap // chunk, dtype=jnp.int32))
+        )
+        return img, C
+
+    img_t, C_t = jax.vmap(tile_fn)(att, counts, px, py)  # [T, n_px, 3], [T, n_px]
+
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    img_t = img_t + C_t[..., None] * bg[None, None, :]
+
+    # --- assemble [H, W, 3] --------------------------------------------
+    img = img_t.reshape(tiles_y, tiles_x, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, 3)
+    img = img[: cam.height, : cam.width]
+    T_map = C_t.reshape(tiles_y, tiles_x, ts, ts)
+    T_map = T_map.transpose(0, 2, 1, 3).reshape(tiles_y * ts, tiles_x * ts)
+    T_map = T_map[: cam.height, : cam.width]
+
+    aux = {
+        "transmittance": T_map,
+        "n_clamped": bins.n_clamped,
+        "n_pairs": bins.n_pairs,
+        "n_tile_overflow": jnp.sum(jnp.maximum(bins.tile_counts - cap, 0)),
+    }
+    return img, aux

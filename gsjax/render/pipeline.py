@@ -1,0 +1,63 @@
+"""The render entry point: one pure, jit-able, differentiable function
+`render(gaussians, camera, cfg) -> image`.
+
+This is the TPU-native replacement for the reference's whole render loop —
+WebGLRenderer.render (/root/reference/src/renderers/WebGLRenderer.ts:
+241-296), the async sort worker round-trip (:269, Worker.ts:36-43), and
+the instanced draw (:290) — collapsed into one jitted step:
+projection → (tile, depth) binning → per-tile front-to-back compositing.
+
+Backends:
+  oracle — O(N·pixels) pure-jnp ground truth (render/oracle.py)
+  xla    — binned, vectorized jnp (render/binning.py + composite.py),
+           differentiable by autodiff
+  pallas — fused tile kernels (render/pallas_tile.py), custom VJP
+  auto   — pallas on TPU, xla elsewhere
+"""
+
+from __future__ import annotations
+
+import jax
+
+from gsjax.core.camera import Camera
+from gsjax.core.config import RenderConfig
+from gsjax.core.gaussians import Gaussians
+from gsjax.render.binning import build_tile_bins
+from gsjax.render.composite import composite_tiles
+from gsjax.render.oracle import render_oracle
+from gsjax.render.project import project
+
+
+def _resolve_backend(cfg: RenderConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def render(
+    g: Gaussians,
+    cam: Camera,
+    cfg: RenderConfig = RenderConfig(),
+    return_aux: bool = False,
+):
+    """Render an [H, W, 3] image. Differentiable w.r.t. every Gaussians
+    field (and the camera pose/intrinsics)."""
+    backend = _resolve_backend(cfg)
+    if backend == "oracle":
+        return render_oracle(g, cam, cfg, return_aux=return_aux)
+    if backend == "xla":
+        p = project(g, cam, cfg)
+        bins = build_tile_bins(p, cam, cfg)
+        img, aux = composite_tiles(p, bins, cam, cfg)
+    elif backend == "pallas":
+        from gsjax.render.pallas_tile import composite_tiles_pallas
+
+        p = project(g, cam, cfg)
+        bins = build_tile_bins(p, cam, cfg)
+        img, aux = composite_tiles_pallas(p, bins, cam, cfg)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    if return_aux:
+        aux["projected"] = p
+        return img, aux
+    return img
