@@ -1,0 +1,120 @@
+"""Headline benchmark (BASELINE config 3): 1080p forward+backward
+training step on a Bonsai-scale scene (1.2M splats), single chip.
+
+Prints ONE JSON line:
+  {"metric": "1080p_fwd_bwd_ms_per_frame", "value": <ms>, "unit": "ms",
+   "vs_baseline": <8.0 / ms>}
+
+vs_baseline is relative to the BASELINE.json north star (<8 ms/frame on
+one v5p chip): >1.0 means the target is beaten. The Bonsai scene itself
+is not downloadable in this environment (zero egress); the synthetic
+scene matches its splat count and footprint statistics
+(gsjax/bench/synth.py).
+
+Usage: python bench.py [--quick] [--n N] [--frames K] [--backend xla|pallas]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = 8.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small scene smoke run")
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--forward-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gsjax import RenderConfig, render
+    from gsjax.bench.synth import bench_camera, bonsai_like
+
+    backend = args.backend or ("pallas" if jax.default_backend() == "tpu" else "xla")
+    try:
+        if backend == "pallas":
+            from gsjax.render import pallas_tile  # noqa: F401
+    except ImportError:
+        backend = "xla"
+
+    if args.quick:
+        n = args.n or 50_000
+        width, height = 640, 480
+        cfg = RenderConfig(backend=backend, tile_list_cap=512, chunk=128)
+    else:
+        n = args.n or 1_200_000
+        width, height = args.width, args.height
+        cfg = RenderConfig(backend=backend, tile_list_cap=1024, chunk=128)
+
+    g = bonsai_like(n=n, sh_degree=0)
+    cam = bench_camera(width=width, height=height)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(g)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+
+    if args.forward_only:
+
+        @jax.jit
+        def step(g, opt_state, target):
+            return g, opt_state, jnp.mean(render(g, cam, cfg))
+
+    else:
+
+        @jax.jit
+        def step(g, opt_state, target):
+            def loss_fn(g):
+                img = render(g, cam, cfg)
+                return jnp.mean((img - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(g)
+            updates, opt_state2 = opt.update(grads, opt_state, g)
+            g2 = optax.apply_updates(g, updates)
+            return g2, opt_state2, loss
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    g1, opt_state1, loss = step(g, opt_state, target)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    print(
+        f"# backend={backend} n={n} {width}x{height} "
+        f"fwd{'':s}{'+bwd' if not args.forward_only else ''} "
+        f"compile={compile_s:.1f}s loss={float(loss):.5f}",
+        file=sys.stderr,
+    )
+
+    # steady state: K frames, re-feeding the updated params
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        g1, opt_state1, loss = step(g1, opt_state1, target)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - t0) / args.frames * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_fwd_bwd_ms_per_frame",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

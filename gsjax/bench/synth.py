@@ -1,0 +1,50 @@
+"""Synthetic benchmark scenes.
+
+The environment has no network access, so the Bonsai/garden scenes named
+in BASELINE.md cannot be downloaded; these generators produce scenes with
+matched statistics (splat count, screen-space footprint distribution,
+central clustering → high overdraw in the image center, like a captured
+object scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gsjax.core.camera import Camera
+from gsjax.core.gaussians import Gaussians
+
+
+def bonsai_like(n: int = 1_200_000, seed: int = 0, sh_degree: int = 0) -> Gaussians:
+    """~Bonsai-scale scene: dense central object + sparse surroundings."""
+    rng = np.random.default_rng(seed)
+    n_core = int(n * 0.8)
+    n_bg = n - n_core
+    core = rng.normal(0.0, 0.6, (n_core, 3)) * np.array([1.0, 0.8, 1.0])
+    bg_dir = rng.normal(size=(n_bg, 3))
+    bg_dir /= np.linalg.norm(bg_dir, axis=-1, keepdims=True)
+    bg = bg_dir * rng.uniform(1.5, 6.0, (n_bg, 1))
+    means = np.concatenate([core, bg]).astype(np.float32)
+
+    # log-normal scale distribution: mostly tiny splats, a long tail
+    scales = np.exp(rng.normal(-4.6, 0.8, (n, 3))).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.beta(2.0, 2.0, n).astype(np.float32) * 0.98 + 0.01
+    k = {0: 1, 1: 4, 2: 9, 3: 16}[sh_degree]
+    sh = (rng.normal(0, 0.25, (n, k, 3))).astype(np.float32)
+    sh[:, 0, :] = rng.uniform(-0.8, 1.8, (n, 3))
+    return Gaussians.from_activated(
+        means=means, scales=scales, quats=q, opacities=opac, sh=sh
+    )
+
+
+def bench_camera(width: int = 1920, height: int = 1080) -> Camera:
+    """1080p camera orbiting the synthetic object (BASELINE config 3)."""
+    return Camera.look_at(
+        position=(0.0, -0.6, -4.0),
+        target=(0.0, 0.0, 0.0),
+        fx=1600.0,
+        fy=1600.0,
+        width=width,
+        height=height,
+    )

@@ -1,0 +1,39 @@
+"""Device mesh construction for tile-sharded rendering.
+
+The reference's entire concurrency inventory is one Web Worker
+(SURVEY §2.5); the TPU framework scales instead by SPMD over a device
+mesh: image tile rows sharded across chips on the `tiles` axis, splat
+parameters replicated, parameter gradients all-reduced (`psum`) over ICI
+(BASELINE north star; SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+TILES_AXIS = "tiles"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the `tiles` axis. Multi-host: pass
+    jax.devices() (the default) after jax.distributed.initialize() — the
+    same program then spans hosts, collectives riding ICI within a host
+    and DCN across."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (TILES_AXIS,))
+
+
+def band_rows_for(cfg, height: int, n_devices: int) -> int:
+    """Tile rows per device; the image height must pad to
+    n_devices · band_rows · tile_size."""
+    tiles_y = cfg.tiles_y(height)
+    return -(-tiles_y // n_devices)
+
+
+def padded_height(cfg, height: int, n_devices: int) -> int:
+    return band_rows_for(cfg, height, n_devices) * n_devices * cfg.tile_size

@@ -1,0 +1,113 @@
+"""Tile-sharded rendering and training over a device mesh.
+
+Design (SURVEY §2.5 / §5.8, BASELINE configs 4-5):
+  - splat parameters replicated on every chip (they are small next to the
+    pair/pixel work; ≤ a few hundred MB for 5M splats),
+  - the image's tile rows sharded over the `tiles` mesh axis: every chip
+    projects all splats (cheap, elementwise), then bins *only its own tile
+    band* — so the expensive (tile,depth) sort and the compositing sweep
+    both scale with 1/D,
+  - the loss is a local mean over the band + `psum`; parameter gradients
+    come out of the local backward and are `psum`ed over ICI (XLA overlaps
+    the all-reduce with the remaining backward work).
+
+The reference's analogue of this layer is postMessage+transferable
+buffers between the render thread and the sort worker
+(/root/reference/src/renderers/webgl/utils/Worker.ts:42); here it is XLA
+collectives over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gsjax.core.camera import Camera
+from gsjax.core.config import RenderConfig
+from gsjax.core.gaussians import Gaussians
+from gsjax.parallel.mesh import TILES_AXIS, band_rows_for, padded_height
+from gsjax.render.binning import build_tile_bins
+from gsjax.render.composite import composite_tiles
+from gsjax.render.project import project
+
+
+def render_sharded(g: Gaussians, cam: Camera, cfg: RenderConfig, mesh):
+    """Render with tile rows sharded over `mesh`. Returns the image with
+    rows sharded on the `tiles` axis, shape [padded_H, tiles_x·ts, 3]
+    (crop to (cam.height, cam.width) after gathering if needed)."""
+    n_dev = mesh.shape[TILES_AXIS]
+    band = band_rows_for(cfg, cam.height, n_dev)
+
+    def local_render(g):
+        d = jax.lax.axis_index(TILES_AXIS)
+        p = project(g, cam, cfg)
+        bins = build_tile_bins(p, cam, cfg, ty0=d * band, band_rows=band)
+        img, _ = composite_tiles(p, bins, cam, cfg)
+        return img
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(TILES_AXIS),
+        check_vma=False,
+    )(g)
+
+
+def make_train_step(cam: Camera, cfg: RenderConfig, mesh, optimizer):
+    """Build a jitted tile-sharded training step
+    (render → L2 loss vs target → grads → psum → optax update).
+
+    The target image must have padded height
+    `parallel.mesh.padded_height(cfg, cam.height, D)` and width
+    tiles_x·tile_size (use `pad_target`)."""
+    n_dev = mesh.shape[TILES_AXIS]
+    band = band_rows_for(cfg, cam.height, n_dev)
+    n_px_total = n_dev * band * cfg.tile_size * cfg.tiles_x(cam.width) * cfg.tile_size
+
+    def local_loss_and_grad(g, target_band):
+        d = jax.lax.axis_index(TILES_AXIS)
+
+        def loss_fn(g):
+            p = project(g, cam, cfg)
+            bins = build_tile_bins(p, cam, cfg, ty0=d * band, band_rows=band)
+            img, _ = composite_tiles(p, bins, cam, cfg)
+            return jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+
+        loss, grads = jax.value_and_grad(loss_fn)(g)
+        loss = jax.lax.psum(loss, TILES_AXIS)
+        grads = jax.lax.psum(grads, TILES_AXIS)
+        return loss, grads
+
+    sharded_grad = shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(TILES_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    import optax
+
+    @jax.jit
+    def train_step(g, opt_state, target):
+        loss, grads = sharded_grad(g, target)
+        updates, opt_state = optimizer.update(grads, opt_state, g)
+        g = optax.apply_updates(g, updates)
+        return g, opt_state, loss
+
+    return train_step
+
+
+def pad_target(cfg: RenderConfig, cam: Camera, target, n_devices: int):
+    """Zero-pad a [H, W, 3] target to the sharded render's padded shape."""
+    ph = padded_height(cfg, cam.height, n_devices)
+    pw = cfg.tiles_x(cam.width) * cfg.tile_size
+    return jnp.pad(
+        jnp.asarray(target, jnp.float32),
+        ((0, ph - target.shape[0]), (0, pw - target.shape[1]), (0, 0)),
+    )

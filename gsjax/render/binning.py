@@ -46,31 +46,54 @@ INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["sid_sorted", "tile_starts", "tile_counts", "n_clamped", "n_pairs"],
-    meta_fields=["tiles_x", "tiles_y"],
+    data_fields=[
+        "sid_sorted",
+        "tile_starts",
+        "tile_counts",
+        "n_clamped",
+        "n_pairs",
+        "ty0",
+    ],
+    meta_fields=["tiles_x", "band_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class TileBins:
     """sid_sorted [P] int32 splat ids, tile-major / near-to-far;
     tile_starts [T+1] int32 segment offsets into sid_sorted;
-    tile_counts [T] int32; n_clamped, n_pairs: scalar diagnostics."""
+    tile_counts [T] int32; n_clamped, n_pairs: scalar diagnostics;
+    ty0: first tile row of the band these bins cover (traced)."""
 
     sid_sorted: jax.Array
     tile_starts: jax.Array
     tile_counts: jax.Array
     n_clamped: jax.Array
     n_pairs: jax.Array
+    ty0: jax.Array
     tiles_x: int
-    tiles_y: int
+    band_rows: int
 
 
-def build_tile_bins(p: ProjectedSplats, cam: Camera, cfg: RenderConfig) -> TileBins:
+def build_tile_bins(
+    p: ProjectedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    ty0=None,
+    band_rows: int = None,
+) -> TileBins:
+    """Bin into the tile rows [ty0, ty0 + band_rows) — the whole image by
+    default. `ty0` may be a traced value (each device of a tile-sharded
+    mesh bins only its own band); `band_rows` must be static."""
     n = p.depth.shape[0]
     span = cfg.tile_span
     k_slots = span * span
     tiles_x = cfg.tiles_x(cam.width)
     tiles_y = cfg.tiles_y(cam.height)
-    n_tiles = tiles_x * tiles_y
+    if band_rows is None:
+        band_rows = tiles_y
+    if ty0 is None:
+        ty0 = jnp.int32(0)
+    ty0 = jnp.asarray(ty0, jnp.int32)
+    n_tiles = tiles_x * band_rows
     if n_tiles > MAX_TILES:
         raise ValueError(
             f"{n_tiles} tiles exceeds the {MAX_TILES} addressable by the "
@@ -94,8 +117,10 @@ def build_tile_bins(p: ProjectedSplats, cam: Camera, cfg: RenderConfig) -> TileB
         p.valid[:, None]
         & (txs < x1[:, None])
         & (tys < y1[:, None])
+        & (tys >= ty0)
+        & (tys < ty0 + band_rows)
     )
-    tile = (tys * tiles_x + txs).astype(jnp.uint32)
+    tile = ((tys - ty0) * tiles_x + txs).astype(jnp.uint32)
     keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
     keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)
 
@@ -117,6 +142,7 @@ def build_tile_bins(p: ProjectedSplats, cam: Camera, cfg: RenderConfig) -> TileB
         tile_counts=tile_counts,
         n_clamped=n_clamped,
         n_pairs=jnp.sum(pair_ok.astype(jnp.int32)),
+        ty0=ty0,
         tiles_x=tiles_x,
-        tiles_y=tiles_y,
+        band_rows=band_rows,
     )

@@ -32,13 +32,15 @@ def composite_tiles(
     cam: Camera,
     cfg: RenderConfig,
 ):
-    """Returns (img [H, W, 3], aux dict)."""
+    """Composite the tile band covered by `bins`. Returns
+    (img [band_rows·ts, tiles_x·ts, 3], aux dict); the caller crops to the
+    camera viewport (single chip) or stacks bands (tile-sharded mesh)."""
     ts = cfg.tile_size
     cap = cfg.tile_list_cap
     chunk = cfg.chunk
     assert cap % chunk == 0, "tile_list_cap must be a multiple of chunk"
-    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
-    n_tiles = tiles_x * tiles_y
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+    n_tiles = tiles_x * band_rows
     n_px = ts * ts
 
     # --- per-tile padded lists ------------------------------------------
@@ -58,7 +60,7 @@ def composite_tiles(
     # --- per-tile pixel grids -------------------------------------------
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     org_x = (t_ids % tiles_x) * ts  # [T]
-    org_y = (t_ids // tiles_x) * ts
+    org_y = (bins.ty0 + t_ids // tiles_x) * ts
     lx = jnp.arange(ts, dtype=jnp.float32)
     pxl = jnp.tile(lx, ts)  # [n_px] x-local, row-major
     pyl = jnp.repeat(lx, ts)
@@ -108,13 +110,11 @@ def composite_tiles(
     bg = jnp.asarray(cfg.background, jnp.float32)
     img_t = img_t + C_t[..., None] * bg[None, None, :]
 
-    # --- assemble [H, W, 3] --------------------------------------------
-    img = img_t.reshape(tiles_y, tiles_x, ts, ts, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, 3)
-    img = img[: cam.height, : cam.width]
-    T_map = C_t.reshape(tiles_y, tiles_x, ts, ts)
-    T_map = T_map.transpose(0, 2, 1, 3).reshape(tiles_y * ts, tiles_x * ts)
-    T_map = T_map[: cam.height, : cam.width]
+    # --- assemble the band image ----------------------------------------
+    img = img_t.reshape(band_rows, tiles_x, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(band_rows * ts, tiles_x * ts, 3)
+    T_map = C_t.reshape(band_rows, tiles_x, ts, ts)
+    T_map = T_map.transpose(0, 2, 1, 3).reshape(band_rows * ts, tiles_x * ts)
 
     aux = {
         "transmittance": T_map,

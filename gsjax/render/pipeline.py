@@ -57,6 +57,8 @@ def render(
         img, aux = composite_tiles_pallas(p, bins, cam, cfg)
     else:
         raise ValueError(f"unknown backend {backend!r}")
+    img = img[: cam.height, : cam.width]
+    aux["transmittance"] = aux["transmittance"][: cam.height, : cam.width]
     if return_aux:
         aux["projected"] = p
         return img, aux
