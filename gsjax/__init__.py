@@ -25,6 +25,7 @@ from gsjax.io.splat import load_splat, save_splat
 from gsjax.io.ply import load_ply
 from gsjax.core import transforms
 from gsjax.camera.orbit import OrbitCamera
+from gsjax.camera.json_io import camera_from_json, camera_to_json, cameras_from_json
 
 __version__ = "0.1.0"
 
@@ -39,4 +40,7 @@ __all__ = [
     "load_ply",
     "transforms",
     "OrbitCamera",
+    "camera_from_json",
+    "camera_to_json",
+    "cameras_from_json",
 ]

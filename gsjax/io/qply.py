@@ -1,11 +1,150 @@
-"""Quantized-codebook PLY loader (placeholder — full implementation
-tracked for this round; ≙ _ParseQPLYBuffer, /root/reference/src/loaders/
-PLYLoader.ts:893-1196)."""
+"""Quantized-codebook PLY loader.
+
+Capability parity with the reference's _ParseQPLYBuffer
+(/root/reference/src/loaders/PLYLoader.ts:893-1196). Format:
+
+  - 4 vertex groups `element vertex_<i> <count>` (i = number of active SH
+    bands for that group: 0..3), rows stored group-sequential;
+  - positions as raw f16 (int16 bit pattern, PLYLoader.ts:1082-1093);
+  - every other attribute is a u8 index into one of the 256-entry f16
+    codebooks from `element codebook_centers 256` (stored after all
+    vertex data, row-interleaved int16, PLYLoader.ts:1146-1152):
+      scaling        → log-scale      (exp'd by the reference :1097-1102)
+      rotation_re/im → quaternion w / xyz (:1105-1117)
+      features_dc    → SH DC coefficients (:1131-1141)
+      opacity        → opacity logit  (sigmoided by the reference :1141-1144)
+      features_rest_<k> → SH band coefficient k (shared across channels),
+        file layout channel-major per group ([R coeffs][G coeffs][B
+        coeffs], :1160-1169)
+  - group boundaries surface as the reference's `bandsIndices`
+    (:1190-1195); here mixed degrees are simply zero-padded SH (inert in
+    eval), so no band machinery survives.
+
+Decoding is vectorized numpy (u8 fancy-indexing into the codebooks)
+instead of the reference's per-vertex DataView loop.
+"""
 
 from __future__ import annotations
 
+import re
 
-def parse_qply(buf: bytes, format: str = ""):
-    raise NotImplementedError(
-        "quantized PLY support is being implemented; see gsjax/io/qply.py"
+import numpy as np
+
+from gsjax.core.gaussians import Gaussians
+
+_SIZES = {
+    "double": 8,
+    "int": 4,
+    "uint": 4,
+    "float": 4,
+    "short": 2,
+    "ushort": 2,
+    "uchar": 1,
+}
+
+_SH_STRIDE = {0: 0, 1: 3, 2: 8, 3: 15}
+
+
+def parse_qply(buf: bytes, format: str = "") -> Gaussians:
+    head_raw = buf[: 1024 * 10]
+    end_tag = b"end_header\n"
+    hi = head_raw.find(end_tag)
+    if not buf.startswith(b"ply") or hi < 0:
+        raise ValueError("Unable to read .ply file header")
+    header = head_raw[:hi].decode("ascii", errors="replace")
+    data_start = hi + len(end_tag)
+
+    # --- the four vertex groups -----------------------------------------
+    groups = []  # (bands, count, [(name, type)])
+    sections = re.split(r"\nelement ", "\n" + header)
+    cb_props = []
+    for sec in sections:
+        sec = sec.strip()
+        if not sec or sec.startswith("ply") or sec.startswith("format"):
+            continue
+        first, *rest = sec.splitlines()
+        m = re.match(r"vertex_(\d+)\s+(\d+)", first)
+        props = [
+            tuple(line.split()[1:3])
+            for line in rest
+            if line.startswith("property ")
+        ]
+        if m:
+            groups.append((int(m.group(1)), int(m.group(2)), props))
+        elif first.startswith("codebook_centers"):
+            cb_props = [name for _t, name in props]
+    if len(groups) != 4:
+        raise ValueError(f"expected 4 quantized vertex groups, got {len(groups)}")
+    groups.sort(key=lambda g: g[0])
+
+    # --- codebooks -------------------------------------------------------
+    data_bytes = sum(
+        count * sum(_SIZES[t] for t, _n in props) for _b, count, props in groups
+    )
+    nb = len(cb_props)
+    cb_raw = np.frombuffer(
+        buf, dtype="<i2", count=256 * nb, offset=data_start + data_bytes
+    ).reshape(256, nb)
+    codebooks = {
+        name: cb_raw[:, j].view(np.float16).astype(np.float32)
+        for j, name in enumerate(cb_props)
+    }
+
+    # --- decode each group ----------------------------------------------
+    out = []
+    offset = data_start
+    for bands, count, props in groups:
+        dtype = np.dtype(
+            [(name, "<i2" if t == "short" else "<u1") for t, name in props]
+        )
+        if dtype.itemsize != sum(_SIZES[t] for t, _n in props):
+            raise ValueError("unsupported property type in quantized PLY")
+        rows = np.frombuffer(buf, dtype=dtype, count=count, offset=offset)
+        offset += dtype.itemsize * count
+
+        means = np.stack(
+            [rows[c].view(np.float16).astype(np.float32) for c in ("x", "y", "z")],
+            axis=-1,
+        )
+        log_scales = np.stack(
+            [codebooks["scaling"][rows[f"scale_{i}"]] for i in range(3)], axis=-1
+        )
+        quats = np.stack(
+            [codebooks["rotation_re"][rows["rot_0"]]]
+            + [codebooks["rotation_im"][rows[f"rot_{i}"]] for i in (1, 2, 3)],
+            axis=-1,
+        )
+        opacity = codebooks["opacity"][rows["opacity"]]
+
+        sh = np.zeros((count, 16, 3), np.float32)
+        for c in range(3):
+            sh[:, 0, c] = codebooks["features_dc"][rows[f"f_dc_{c}"]]
+        stride = _SH_STRIDE[bands]
+        if stride:
+            rest_names = [n for _t, n in props if n.startswith("f_rest_")]
+            # file layout channel-major: f_rest_[c·stride + k] is channel
+            # c, coefficient k; codebook features_rest_k is per-coefficient
+            for c in range(3):
+                for k in range(stride):
+                    name = rest_names[c * stride + k]
+                    sh[:, 1 + k, c] = codebooks[f"features_rest_{k}"][rows[name]]
+        out.append((means, log_scales, quats, sh, opacity))
+
+    means = np.concatenate([o[0] for o in out])
+    log_scales = np.concatenate([o[1] for o in out])
+    quats = np.concatenate([o[2] for o in out])
+    sh = np.concatenate([o[3] for o in out])
+    opacity = np.concatenate([o[4] for o in out])
+
+    from gsjax.io.ply import _assemble
+
+    return _assemble(
+        {
+            "means": means,
+            "log_scales": log_scales,
+            "quats": quats,
+            "sh": sh,
+            "opacity_logits": opacity,
+        },
+        format,
     )

@@ -9,9 +9,16 @@ frag.glsl.ts:13-21) plus the ONE_MINUS_DST_ALPHA blend state
 termination rule folded into a virtual-cumprod carry (see
 render/oracle.py for why that is exactly graphdeco's sticky `done`).
 
-Compute shape per (tile, chunk): [256 pixels × chunk] — VPU-aligned
-(8×128 lanes); the chunk body is jax.checkpoint'ed so autodiff
-rematerializes alphas instead of storing O(pixels·pairs) residuals.
+Two carries per pixel:
+  C      — the *virtual* transmittance (product over all eligible
+           splats), which implements the sticky termination test,
+  T_act  — the *actual* transmittance (product over included splats
+           only), which weights the background and is the output
+           transmittance map. They diverge only after termination.
+
+`build_padded_lists` + `blend_padded` are shared with the Pallas backend
+(render/pallas_tile.py): same inputs, same semantics, so the Pallas
+kernel's custom VJP can fall back to autodiff of `blend_padded`.
 """
 
 from __future__ import annotations
@@ -25,25 +32,16 @@ from gsjax.render.binning import TileBins
 from gsjax.render.common import gaussian_power
 from gsjax.render.project import ProjectedSplats
 
+ATT_DIM = 9  # mean2d(2) + conic(3) + rgb(3) + opacity(1)
 
-def composite_tiles(
-    p: ProjectedSplats,
-    bins: TileBins,
-    cam: Camera,
-    cfg: RenderConfig,
-):
-    """Composite the tile band covered by `bins`. Returns
-    (img [band_rows·ts, tiles_x·ts, 3], aux dict); the caller crops to the
-    camera viewport (single chip) or stacks bands (tile-sharded mesh)."""
-    ts = cfg.tile_size
+
+def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
+    """Gather per-pair attributes into per-tile padded lists.
+
+    Returns (att [T, cap, 9] f32, counts [T] i32). Overflow beyond
+    cfg.tile_list_cap is dropped far-to-near (counted by the caller via
+    bins.tile_counts)."""
     cap = cfg.tile_list_cap
-    chunk = cfg.chunk
-    assert cap % chunk == 0, "tile_list_cap must be a multiple of chunk"
-    tiles_x, band_rows = bins.tiles_x, bins.band_rows
-    n_tiles = tiles_x * band_rows
-    n_px = ts * ts
-
-    # --- per-tile padded lists ------------------------------------------
     counts = jnp.minimum(bins.tile_counts, cap)  # [T]
     lane = jnp.arange(cap, dtype=jnp.int32)
     idx = bins.tile_starts[:-1][:, None] + lane[None, :]  # [T, cap]
@@ -51,16 +49,31 @@ def composite_tiles(
     sid = bins.sid_sorted[idx]  # [T, cap]
     sid = jnp.where(lane[None, :] < counts[:, None], sid, 0)
 
-    # gather per-pair attributes once: [T, cap, 9]
     att = jnp.concatenate(
         [p.mean2d, p.conic, p.rgb, p.opacity[:, None]], axis=-1
     )  # [N, 9]
     att = att[sid]  # [T, cap, 9]
+    # zero attributes of padding lanes so masked math stays finite
+    att = jnp.where((lane[None, :, None] < counts[:, None, None]), att, 0.0)
+    return att, counts
 
-    # --- per-tile pixel grids -------------------------------------------
+
+def blend_padded(att, counts, ty0, tiles_x: int, band_rows: int, cfg: RenderConfig):
+    """Front-to-back composite of padded tile lists (XLA implementation).
+
+    att [T, cap, 9], counts [T], ty0 scalar (first tile row).
+    Returns (img [T, n_px, 3], T_act [T, n_px]) — per-tile flattened
+    pixels, row-major within the tile."""
+    ts = cfg.tile_size
+    cap = cfg.tile_list_cap
+    chunk = cfg.chunk
+    assert cap % chunk == 0, "tile_list_cap must be a multiple of chunk"
+    n_tiles = tiles_x * band_rows
+    n_px = ts * ts
+
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     org_x = (t_ids % tiles_x) * ts  # [T]
-    org_y = (bins.ty0 + t_ids // tiles_x) * ts
+    org_y = (jnp.asarray(ty0, jnp.int32) + t_ids // tiles_x) * ts
     lx = jnp.arange(ts, dtype=jnp.float32)
     pxl = jnp.tile(lx, ts)  # [n_px] x-local, row-major
     pyl = jnp.repeat(lx, ts)
@@ -70,8 +83,8 @@ def composite_tiles(
     eps_T = cfg.transmittance_eps
 
     def chunk_body(carry, att_c, valid_c, px_t, py_t):
-        """One chunk for one tile. carry = (C [n_px], img [n_px,3])."""
-        C, img = carry
+        """One chunk for one tile. carry = (C, T_act [n_px], img [n_px,3])."""
+        C, T_act, img = carry
         mean_x, mean_y = att_c[:, 0], att_c[:, 1]
         conic = att_c[:, 2:5]
         rgb = att_c[:, 5:8]
@@ -86,7 +99,8 @@ def composite_tiles(
         include = eligible & (Cc >= eps_T)
         w = jnp.where(include, (Cc / f) * alpha, 0.0)  # [n_px, chunk]
         img = img + jnp.matmul(w, rgb, precision="highest")
-        return (Cc[:, -1], img)
+        T_act = T_act * jnp.prod(jnp.where(include, f, 1.0), axis=1)
+        return (Cc[:, -1], T_act, img)
 
     chunk_body = jax.checkpoint(chunk_body)
 
@@ -99,27 +113,51 @@ def composite_tiles(
             valid_c = (k * chunk + lane_c) < count_t
             return chunk_body(carry, att_c, valid_c, px_t, py_t), None
 
-        init = (jnp.ones(n_px, jnp.float32), jnp.zeros((n_px, 3), jnp.float32))
-        (C, img), _ = jax.lax.scan(
+        init = (
+            jnp.ones(n_px, jnp.float32),
+            jnp.ones(n_px, jnp.float32),
+            jnp.zeros((n_px, 3), jnp.float32),
+        )
+        (C, T_act, img), _ = jax.lax.scan(
             body, init, (att_s, jnp.arange(cap // chunk, dtype=jnp.int32))
         )
-        return img, C
+        return img, T_act
 
-    img_t, C_t = jax.vmap(tile_fn)(att, counts, px, py)  # [T, n_px, 3], [T, n_px]
+    return jax.vmap(tile_fn)(att, counts, px, py)  # [T, n_px, 3], [T, n_px]
+
+
+def composite_tiles(
+    p: ProjectedSplats,
+    bins: TileBins,
+    cam: Camera,
+    cfg: RenderConfig,
+    blend_fn=None,
+):
+    """Composite the tile band covered by `bins`. Returns
+    (img [band_rows·ts, tiles_x·ts, 3], aux dict); the caller crops to the
+    camera viewport (single chip) or stacks bands (tile-sharded mesh)."""
+    ts = cfg.tile_size
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+
+    att, counts = build_padded_lists(p, bins, cfg)
+    blend = blend_fn or blend_padded
+    img_t, T_t = blend(att, counts, bins.ty0, tiles_x, band_rows, cfg)
 
     bg = jnp.asarray(cfg.background, jnp.float32)
-    img_t = img_t + C_t[..., None] * bg[None, None, :]
+    img_t = img_t + T_t[..., None] * bg[None, None, :]
 
     # --- assemble the band image ----------------------------------------
     img = img_t.reshape(band_rows, tiles_x, ts, ts, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(band_rows * ts, tiles_x * ts, 3)
-    T_map = C_t.reshape(band_rows, tiles_x, ts, ts)
+    T_map = T_t.reshape(band_rows, tiles_x, ts, ts)
     T_map = T_map.transpose(0, 2, 1, 3).reshape(band_rows * ts, tiles_x * ts)
 
     aux = {
         "transmittance": T_map,
         "n_clamped": bins.n_clamped,
         "n_pairs": bins.n_pairs,
-        "n_tile_overflow": jnp.sum(jnp.maximum(bins.tile_counts - cap, 0)),
+        "n_tile_overflow": jnp.sum(
+            jnp.maximum(bins.tile_counts - cfg.tile_list_cap, 0)
+        ),
     }
     return img, aux

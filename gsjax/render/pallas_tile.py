@@ -1,0 +1,219 @@
+"""Pallas TPU tile-blend kernel: fused per-tile front-to-back compositing.
+
+TPU-native replacement for the reference's per-fragment hot loop
+(/root/reference/src/renderers/webgl/shaders/frag.glsl.ts:13-21 + the
+ONE_MINUS_DST_ALPHA blend unit, WebGLRenderer.ts:141), with the same
+semantics as render/composite.py's `blend_padded` (the XLA reference
+implementation used for this kernel's custom VJP).
+
+Kernel design:
+  - grid over tiles; per tile, the padded depth-ordered attribute list
+    [9, cap] streams into VMEM via the Pallas pipeline (double-buffered
+    against compute),
+  - a while_loop walks the list in chunks of `cfg.chunk`; per chunk the
+    [n_px × chunk] alpha matrix is computed on the VPU, the within-chunk
+    exclusive transmittance by a log₂(chunk)-step Hillis-Steele running
+    product (7 rolls for chunk=128 — no transcendentals beyond the one
+    exp), and the color accumulation rides the MXU via dot_general,
+  - true early exit: the loop stops once every pixel's virtual
+    transmittance C falls below cfg.transmittance_eps — the TPU
+    equivalent of graphdeco's per-pixel `done` (here per-tile, the
+    vectorized compromise).
+
+Layouts are lane-aligned: attributes [9→16 sublanes, cap lanes], pixels
+[n_px sublanes, chunk lanes], output [n_px, 8] (rgb, T_act, spare).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsjax.core.config import RenderConfig
+from gsjax.render.composite import blend_padded
+
+OUT_COLS = 8  # rgb(3), T_act(1), padding to a clean lane multiple
+
+
+def _blend_kernel(
+    counts_ref,  # [T] i32 (scalar prefetch)
+    meta_ref,  # [2] i32: (ty0, tiles_x) (scalar prefetch)
+    att_ref,  # [1, 9, cap] f32 block
+    out_ref,  # [1, n_px, OUT_COLS] f32 block
+    *,
+    ts: int,
+    chunk: int,
+    cap: int,
+    alpha_clamp: float,
+    alpha_min: float,
+    eps_T: float,
+):
+    n_px = ts * ts
+    i = pl.program_id(0)
+    count = counts_ref[i]
+    ty0 = meta_ref[0]
+    tiles_x = meta_ref[1]
+
+    org_x = (i % tiles_x) * ts
+    org_y = (i // tiles_x + ty0) * ts
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0)
+    px = (org_x + pix % ts).astype(jnp.float32)  # [n_px, 1]
+    py = (org_y + pix // ts).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_px, chunk), 1)
+
+    n_chunks = pl.cdiv(count, chunk)
+
+    def cond(state):
+        k, C, T_act, img = state
+        return jnp.logical_and(k < n_chunks, jnp.max(C) >= eps_T)
+
+    def body(state):
+        k, C, T_act, img = state
+        sl = pl.ds(k * chunk, chunk)
+        mx = att_ref[0, 0:1, sl]  # [1, chunk]
+        my = att_ref[0, 1:2, sl]
+        ca = att_ref[0, 2:3, sl]
+        cb = att_ref[0, 3:4, sl]
+        cc = att_ref[0, 4:5, sl]
+        op = att_ref[0, 8:9, sl]
+
+        dx = px - mx  # [n_px, chunk]
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
+        valid = (k * chunk + lane) < count
+        eligible = jnp.logical_and(
+            valid, jnp.logical_and(alpha >= alpha_min, power <= 0.0)
+        )
+        f = jnp.where(eligible, 1.0 - alpha, 1.0)
+
+        # inclusive running product along lanes (Hillis-Steele)
+        incl = f
+        s = 1
+        while s < chunk:
+            shifted = pltpu.roll(incl, s, 1)
+            incl = incl * jnp.where(lane >= s, shifted, 1.0)
+            s *= 2
+        excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+
+        Cc = C * incl  # [n_px, chunk] virtual inclusive transmittance
+        include = jnp.logical_and(eligible, Cc >= eps_T)
+        w = jnp.where(include, C * excl * alpha, 0.0)
+
+        rgbr = att_ref[0, 5:8, sl]  # [3, chunk]
+        contrib = jax.lax.dot_general(
+            w,
+            rgbr,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [n_px, 3]
+        img = img + contrib
+        # actual transmittance = virtual Cc at the last included splat
+        # (globally monotone), i.e. the min included Cc so far — avoids a
+        # reduce_prod, which Mosaic cannot lower
+        t_min = jnp.min(jnp.where(include, Cc, 2.0), axis=1, keepdims=True)
+        T_act = jnp.where(t_min > 1.5, T_act, t_min)
+
+        return (k + 1, Cc[:, -1:], T_act, img)
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((n_px, 1), jnp.float32),
+        jnp.ones((n_px, 1), jnp.float32),
+        jnp.zeros((n_px, 3), jnp.float32),
+    )
+    _, C, T_act, img = jax.lax.while_loop(cond, body, init)
+
+    pad = jnp.zeros((n_px, OUT_COLS - 5), jnp.float32)
+    out_ref[0, :, :] = jnp.concatenate([img, T_act, C, pad], axis=1)
+
+
+def _blend_pallas_fwd_impl(att, counts, ty0, tiles_x, band_rows, cfg: RenderConfig):
+    ts = cfg.tile_size
+    cap = cfg.tile_list_cap
+    n_px = ts * ts
+    n_tiles = tiles_x * band_rows
+
+    att_t = jnp.swapaxes(att, 1, 2)  # [T, 9, cap]
+    meta = jnp.stack(
+        [jnp.asarray(ty0, jnp.int32), jnp.asarray(tiles_x, jnp.int32)]
+    )
+
+    kernel = partial(
+        _blend_kernel,
+        ts=ts,
+        chunk=cfg.chunk,
+        cap=cap,
+        alpha_clamp=cfg.alpha_clamp,
+        alpha_min=cfg.alpha_min,
+        eps_T=cfg.transmittance_eps,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 9, cap), lambda i, counts, meta: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_px, OUT_COLS),
+            lambda i, counts, meta: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_px, OUT_COLS), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(counts.astype(jnp.int32), meta, att_t)
+
+    return out[:, :, 0:3], out[:, :, 3]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def blend_pallas(att, counts, ty0, tiles_x, band_rows, cfg):
+    """Pallas-fused equivalent of composite.blend_padded (same contract)."""
+    return _blend_pallas_fwd_impl(att, counts, ty0, tiles_x, band_rows, cfg)
+
+
+def _fwd(att, counts, ty0, tiles_x, band_rows, cfg):
+    out = _blend_pallas_fwd_impl(att, counts, ty0, tiles_x, band_rows, cfg)
+    return out, (att, counts, ty0)
+
+
+def _bwd(tiles_x, band_rows, cfg, res, ct):
+    att, counts, ty0 = res
+    # recompute-based VJP through the XLA reference implementation (a
+    # hand-derived Pallas backward kernel replaces this on the perf path)
+    _, vjp = jax.vjp(
+        lambda a: blend_padded(a, counts, ty0, tiles_x, band_rows, cfg), att
+    )
+    (d_att,) = vjp(ct)
+    f0 = jax.dtypes.float0
+    return (
+        d_att,
+        np.zeros(counts.shape, f0),
+        np.zeros(jnp.shape(ty0), f0),
+    )
+
+
+blend_pallas.defvjp(_fwd, _bwd)
+
+
+def composite_tiles_pallas(p, bins, cam, cfg: RenderConfig):
+    """Drop-in composite_tiles with the Pallas blend kernel."""
+    from gsjax.render.composite import composite_tiles
+
+    return composite_tiles(p, bins, cam, cfg, blend_fn=blend_pallas)
