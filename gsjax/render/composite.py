@@ -35,6 +35,25 @@ from gsjax.render.project import ProjectedSplats
 ATT_DIM = 9  # mean2d(2) + conic(3) + rgb(3) + opacity(1)
 
 
+def att_table(p: ProjectedSplats):
+    """Per-splat packed attributes [N, 9]:
+    mean2d(2) + conic(3) + rgb(3) + opacity(1)."""
+    return jnp.concatenate(
+        [p.mean2d, p.conic, p.rgb, p.opacity[:, None]], axis=-1
+    )
+
+
+def clipped_pair_stream(bins: TileBins, cfg: RenderConfig):
+    """Apply the optional total-pair budget. Returns
+    (sid_sorted [S'] i32, starts [T+1] i32, n_dropped scalar)."""
+    S = bins.sid_sorted.shape[0]
+    cap = min(cfg.pair_cap, S) if cfg.pair_cap else S
+    sid = bins.sid_sorted[:cap]
+    starts = jnp.minimum(bins.tile_starts, cap).astype(jnp.int32)
+    n_dropped = jnp.maximum(bins.tile_starts[-1] - cap, 0)
+    return sid, starts, n_dropped
+
+
 def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
     """Gather per-pair attributes into per-tile padded lists.
 
@@ -49,10 +68,7 @@ def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
     sid = bins.sid_sorted[idx]  # [T, cap]
     sid = jnp.where(lane[None, :] < counts[:, None], sid, 0)
 
-    att = jnp.concatenate(
-        [p.mean2d, p.conic, p.rgb, p.opacity[:, None]], axis=-1
-    )  # [N, 9]
-    att = att[sid]  # [T, cap, 9]
+    att = att_table(p)[sid]  # [T, cap, 9]
     # zero attributes of padding lanes so masked math stays finite
     att = jnp.where((lane[None, :, None] < counts[:, None, None]), att, 0.0)
     return att, counts
@@ -126,6 +142,20 @@ def blend_padded(att, counts, ty0, tiles_x: int, band_rows: int, cfg: RenderConf
     return jax.vmap(tile_fn)(att, counts, px, py)  # [T, n_px, 3], [T, n_px]
 
 
+def assemble_band(img_t, T_t, bins: TileBins, cfg: RenderConfig):
+    """Per-tile flat pixels → band image. Adds the background weighted by
+    the actual transmittance, then untiles."""
+    ts = cfg.tile_size
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    img_t = img_t + T_t[..., None] * bg[None, None, :]
+    img = img_t.reshape(band_rows, tiles_x, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(band_rows * ts, tiles_x * ts, 3)
+    T_map = T_t.reshape(band_rows, tiles_x, ts, ts)
+    T_map = T_map.transpose(0, 2, 1, 3).reshape(band_rows * ts, tiles_x * ts)
+    return img, T_map
+
+
 def composite_tiles(
     p: ProjectedSplats,
     bins: TileBins,
@@ -136,21 +166,10 @@ def composite_tiles(
     """Composite the tile band covered by `bins`. Returns
     (img [band_rows·ts, tiles_x·ts, 3], aux dict); the caller crops to the
     camera viewport (single chip) or stacks bands (tile-sharded mesh)."""
-    ts = cfg.tile_size
-    tiles_x, band_rows = bins.tiles_x, bins.band_rows
-
     att, counts = build_padded_lists(p, bins, cfg)
     blend = blend_fn or blend_padded
-    img_t, T_t = blend(att, counts, bins.ty0, tiles_x, band_rows, cfg)
-
-    bg = jnp.asarray(cfg.background, jnp.float32)
-    img_t = img_t + T_t[..., None] * bg[None, None, :]
-
-    # --- assemble the band image ----------------------------------------
-    img = img_t.reshape(band_rows, tiles_x, ts, ts, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(band_rows * ts, tiles_x * ts, 3)
-    T_map = T_t.reshape(band_rows, tiles_x, ts, ts)
-    T_map = T_map.transpose(0, 2, 1, 3).reshape(band_rows * ts, tiles_x * ts)
+    img_t, T_t = blend(att, counts, bins.ty0, bins.tiles_x, bins.band_rows, cfg)
+    img, T_map = assemble_band(img_t, T_t, bins, cfg)
 
     aux = {
         "transmittance": T_map,
@@ -159,5 +178,32 @@ def composite_tiles(
         "n_tile_overflow": jnp.sum(
             jnp.maximum(bins.tile_counts - cfg.tile_list_cap, 0)
         ),
+    }
+    return img, aux
+
+
+def composite_tiles_flat(
+    p: ProjectedSplats,
+    bins: TileBins,
+    cam: Camera,
+    cfg: RenderConfig,
+):
+    """Composite via the slot-stream Pallas kernels (no per-tile cap)."""
+    from gsjax.render.pallas_flat import blend_slots, chunked_pair_attrs
+
+    sid, starts, n_dropped = clipped_pair_stream(bins, cfg)
+    att_al, _sid_al, tile_of, cbase = chunked_pair_attrs(
+        att_table(p), sid, starts, cfg
+    )
+    img_t, T_t = blend_slots(
+        att_al, starts, cbase, tile_of, bins.ty0, bins.tiles_x, bins.band_rows, cfg
+    )
+    img, T_map = assemble_band(img_t, T_t, bins, cfg)
+    aux = {
+        "transmittance": T_map,
+        "n_clamped": bins.n_clamped,
+        "n_pairs": bins.n_pairs,
+        "n_tile_overflow": jnp.zeros((), jnp.int32),
+        "n_pair_overflow": n_dropped,
     }
     return img, aux

@@ -50,6 +50,12 @@ def render(
         bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles(p, bins, cam, cfg)
     elif backend == "pallas":
+        from gsjax.render.composite import composite_tiles_flat
+
+        p = project(g, cam, cfg)
+        bins = build_tile_bins(p, cam, cfg)
+        img, aux = composite_tiles_flat(p, bins, cam, cfg)
+    elif backend == "pallas_padded":
         from gsjax.render.pallas_tile import composite_tiles_pallas
 
         p = project(g, cam, cfg)

@@ -60,7 +60,10 @@ def project(
 ) -> ProjectedSplats:
     view = cam.view_matrix()  # [4,4] world→camera
     W = view[:3, :3]
-    t_cam = jnp.matmul(g.means, W.T, precision="highest") + view[:3, 3]  # [N,3]
+    # elementwise [N,3]·[3,3] (a jnp.matmul here pads K=3 onto the MXU)
+    t_cam = (
+        jnp.sum(g.means[:, None, :] * W[None, :, :], axis=-1) + view[:3, 3]
+    )  # [N,3]
     z = t_cam[:, 2]
 
     in_front = z > cfg.near_cull
@@ -82,23 +85,23 @@ def project(
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    # T = J @ W  (2×3); cov2d = T Σ Tᵀ  (≙ vertex.glsl.ts:154-155)
+    # T = J @ W  (2×3); cov2d = T Σ Tᵀ  (≙ vertex.glsl.ts:154-155).
+    # Everything stays elementwise — expressing Σ as batched 3×3 matmuls
+    # makes XLA pad each one onto the 128×128 MXU (measured 20× slower).
     T0 = j00[:, None] * W[0][None, :] + j02[:, None] * W[2][None, :]  # [N,3]
     T1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]  # [N,3]
 
-    Sigma = g.covariances()  # [N,3,3]
-    S_T0 = jnp.einsum("nij,nj->ni", Sigma, T0, precision="highest")
-    c00 = jnp.einsum("ni,ni->n", T0, S_T0, precision="highest") + cfg.lowpass
-    c01 = jnp.einsum("ni,ni->n", T1, S_T0, precision="highest")
-    c11 = (
-        jnp.einsum(
-            "ni,ni->n",
-            T1,
-            jnp.einsum("nij,nj->ni", Sigma, T1, precision="highest"),
-            precision="highest",
-        )
-        + cfg.lowpass
-    )
+    # M = R·diag(s): Σ = M Mᵀ; fold Σ into the quadratic forms via
+    # U = M with rows contracted against T: cov2d_ab = (Ta M)·(Tb M)
+    R = g.rotation_matrices()  # [N, 3, 3] (elementwise from quats)
+    s = g.scales  # [N, 3]
+    M = R * s[:, None, :]  # [N, 3, 3] columns scaled
+    # a0 = T0·M (row vector [N,3]), a1 = T1·M — elementwise sums
+    a0 = jnp.sum(T0[:, :, None] * M, axis=1)  # [N, 3]
+    a1 = jnp.sum(T1[:, :, None] * M, axis=1)
+    c00 = jnp.sum(a0 * a0, axis=-1) + cfg.lowpass
+    c01 = jnp.sum(a0 * a1, axis=-1)
+    c11 = jnp.sum(a1 * a1, axis=-1) + cfg.lowpass
 
     det = c00 * c11 - c01 * c01
     det_ok = det > 0.0

@@ -84,5 +84,6 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     k = sh.shape[-2]
     basis = sh_basis(dirs, k)  # [..., K]
-    rgb = jnp.einsum("...k,...kc->...c", basis, sh, precision="highest") + 0.5
+    # elementwise contraction (an einsum here pads K≤16 onto the MXU)
+    rgb = jnp.sum(basis[..., :, None] * sh, axis=-2) + 0.5
     return jnp.maximum(rgb, 0.0)

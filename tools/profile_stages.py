@@ -1,0 +1,94 @@
+"""Per-stage timing of the render pipeline on the current backend.
+
+Each stage is jitted separately (pays ~13 ms axon dispatch latency once
+per call; timings subtract the measured dispatch floor). Usage:
+
+  python tools/profile_stages.py [--n 1200000] [--wh 1920x1080] [--reps 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    # block_until_ready does not reliably wait through the axon tunnel;
+    # a device_get of one element does (it waits for the whole buffer)
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps * 1e3, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_200_000)
+    ap.add_argument("--wh", default="1920x1080")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cap", type=int, default=1024)
+    args = ap.parse_args()
+    W, H = map(int, args.wh.split("x"))
+
+    from gsjax import RenderConfig
+    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.render.binning import build_tile_bins
+    from gsjax.render.composite import blend_padded, build_padded_lists
+    from gsjax.render.project import project
+
+    cfg = RenderConfig(tile_list_cap=args.cap, chunk=128)
+    g = bonsai_like(n=args.n)
+    cam = bench_camera(width=W, height=H)
+
+    # dispatch floor
+    noop = jax.jit(lambda x: x + 1.0)
+    floor_ms, _ = timeit(noop, jnp.zeros((8, 128)), reps=args.reps)
+    print(f"dispatch floor      : {floor_ms:8.2f} ms")
+
+    f_proj = jax.jit(lambda g: project(g, cam, cfg))
+    t, p = timeit(f_proj, g, reps=args.reps)
+    print(f"project             : {t - floor_ms:8.2f} ms")
+
+    f_bins = jax.jit(lambda p: build_tile_bins(p, cam, cfg))
+    t, bins = timeit(f_bins, p, reps=args.reps)
+    print(f"binning (pair sort) : {t - floor_ms:8.2f} ms   "
+          f"pairs={int(bins.n_pairs)} clamped={int(bins.n_clamped)} "
+          f"overflow={int(np.sum(np.maximum(np.asarray(bins.tile_counts) - args.cap, 0)))}")
+
+    f_lists = jax.jit(lambda p, bins: build_padded_lists(p, bins, cfg))
+    t, (att, counts) = timeit(f_lists, p, bins, reps=args.reps)
+    print(f"padded-list gather  : {t - floor_ms:8.2f} ms   att={att.shape}")
+    cnt = np.asarray(counts)
+    print(f"  counts: mean={cnt.mean():.0f} p50={np.percentile(cnt,50):.0f} "
+          f"p95={np.percentile(cnt,95):.0f} max={cnt.max()} "
+          f"frac_at_cap={(cnt >= args.cap).mean():.3f}")
+
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+    f_xla = jax.jit(lambda att, counts, ty0: blend_padded(att, counts, ty0, tiles_x, band_rows, cfg))
+    t, _ = timeit(f_xla, att, counts, bins.ty0, reps=max(1, args.reps // 2))
+    print(f"blend (xla)         : {t - floor_ms:8.2f} ms")
+
+    if jax.default_backend() == "tpu":
+        from gsjax.render.pallas_tile import blend_pallas
+
+        f_pal = jax.jit(lambda att, counts, ty0: blend_pallas(att, counts, ty0, tiles_x, band_rows, cfg))
+        t, _ = timeit(f_pal, att, counts, bins.ty0, reps=args.reps)
+        print(f"blend (pallas)      : {t - floor_ms:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
