@@ -47,7 +47,7 @@ INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "sid_sorted",
+        "pid_sorted",
         "tile_starts",
         "tile_counts",
         "n_clamped",
@@ -58,12 +58,16 @@ INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 )
 @dataclasses.dataclass(frozen=True)
 class TileBins:
-    """sid_sorted [P] int32 splat ids, tile-major / near-to-far;
-    tile_starts [T+1] int32 segment offsets into sid_sorted;
-    tile_counts [T] int32; n_clamped, n_pairs: scalar diagnostics;
-    ty0: first tile row of the band these bins cover (traced)."""
+    """pid_sorted [S] int32 *pair* ids (pid = splat·K + slot, so
+    sid = pid // tile_span²), tile-major / near-to-far; tile_starts [T+1]
+    int32 segment offsets into pid_sorted; tile_counts [T] int32;
+    n_clamped, n_pairs: scalar diagnostics; ty0: first tile row of the
+    band these bins cover (traced). Carrying pair ids instead of splat
+    ids lets the backward scatter gradients with *unique* indices
+    (scatter-set + K-axis reduce ≈ 0.9 ns/elem) instead of a scatter-add
+    (measured 100+ ns/row)."""
 
-    sid_sorted: jax.Array
+    pid_sorted: jax.Array
     tile_starts: jax.Array
     tile_counts: jax.Array
     n_clamped: jax.Array
@@ -143,11 +147,9 @@ def build_tile_bins(
     keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
     keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)
 
-    sids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_slots)
-    ).reshape(-1)
+    pids = jnp.arange(n * k_slots, dtype=jnp.int32)
 
-    k_sorted, sid_sorted = jax.lax.sort((keys, sids), num_keys=1, is_stable=True)
+    k_sorted, pid_sorted = jax.lax.sort((keys, pids), num_keys=1, is_stable=True)
 
     tile_of = (k_sorted >> jnp.uint32(DEPTH_BITS)).astype(jnp.int32)
     tile_starts = jnp.searchsorted(
@@ -156,7 +158,7 @@ def build_tile_bins(
     tile_counts = tile_starts[1:] - tile_starts[:-1]
 
     return TileBins(
-        sid_sorted=sid_sorted,
+        pid_sorted=pid_sorted,
         tile_starts=tile_starts,
         tile_counts=tile_counts,
         n_clamped=n_clamped,

@@ -45,13 +45,13 @@ def att_table(p: ProjectedSplats):
 
 def clipped_pair_stream(bins: TileBins, cfg: RenderConfig):
     """Apply the optional total-pair budget. Returns
-    (sid_sorted [S'] i32, starts [T+1] i32, n_dropped scalar)."""
-    S = bins.sid_sorted.shape[0]
+    (pid_sorted [S'] i32, starts [T+1] i32, n_dropped scalar)."""
+    S = bins.pid_sorted.shape[0]
     cap = min(cfg.pair_cap, S) if cfg.pair_cap else S
-    sid = bins.sid_sorted[:cap]
+    pid = bins.pid_sorted[:cap]
     starts = jnp.minimum(bins.tile_starts, cap).astype(jnp.int32)
     n_dropped = jnp.maximum(bins.tile_starts[-1] - cap, 0)
-    return sid, starts, n_dropped
+    return pid, starts, n_dropped
 
 
 def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
@@ -61,11 +61,12 @@ def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
     cfg.tile_list_cap is dropped far-to-near (counted by the caller via
     bins.tile_counts)."""
     cap = cfg.tile_list_cap
+    k_slots = cfg.tile_span * cfg.tile_span
     counts = jnp.minimum(bins.tile_counts, cap)  # [T]
     lane = jnp.arange(cap, dtype=jnp.int32)
     idx = bins.tile_starts[:-1][:, None] + lane[None, :]  # [T, cap]
-    idx = jnp.minimum(idx, bins.sid_sorted.shape[0] - 1)
-    sid = bins.sid_sorted[idx]  # [T, cap]
+    idx = jnp.minimum(idx, bins.pid_sorted.shape[0] - 1)
+    sid = bins.pid_sorted[idx] // k_slots  # [T, cap]
     sid = jnp.where(lane[None, :] < counts[:, None], sid, 0)
 
     att = att_table(p)[sid]  # [T, cap, 9]
@@ -191,9 +192,9 @@ def composite_tiles_flat(
     """Composite via the slot-stream Pallas kernels (no per-tile cap)."""
     from gsjax.render.pallas_flat import blend_slots, chunked_pair_attrs
 
-    sid, starts, n_dropped = clipped_pair_stream(bins, cfg)
-    att_al, _sid_al, tile_of, cbase = chunked_pair_attrs(
-        att_table(p), sid, starts, cfg
+    pid, starts, n_dropped = clipped_pair_stream(bins, cfg)
+    att_al, tile_of, cbase = chunked_pair_attrs(
+        att_table(p), pid, starts, cfg, cfg.tile_span * cfg.tile_span
     )
     img_t, T_t = blend_slots(
         att_al, starts, cbase, tile_of, bins.ty0, bins.tiles_x, bins.band_rows, cfg

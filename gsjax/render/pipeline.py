@@ -39,26 +39,36 @@ def render(
     cam: Camera,
     cfg: RenderConfig = RenderConfig(),
     return_aux: bool = False,
+    passes=(),
 ):
     """Render an [H, W, 3] image. Differentiable w.r.t. every Gaussians
-    field (and the camera pose/intrinsics)."""
+    field (and the camera pose/intrinsics). `passes` are post-projection
+    transformations (gsjax.render.passes ≙ the reference's ShaderPass
+    hook)."""
     backend = _resolve_backend(cfg)
     if backend == "oracle":
+        if passes:
+            from gsjax.render.oracle import composite_oracle
+
+            p = project(g, cam, cfg)
+            for ps in passes:
+                p = ps(p, cam, cfg)
+            return composite_oracle(p, cam, cfg, return_aux=return_aux)
         return render_oracle(g, cam, cfg, return_aux=return_aux)
+    p = project(g, cam, cfg)
+    for ps in passes:
+        p = ps(p, cam, cfg)
     if backend == "xla":
-        p = project(g, cam, cfg)
         bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles(p, bins, cam, cfg)
     elif backend == "pallas":
         from gsjax.render.composite import composite_tiles_flat
 
-        p = project(g, cam, cfg)
         bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles_flat(p, bins, cam, cfg)
     elif backend == "pallas_padded":
         from gsjax.render.pallas_tile import composite_tiles_pallas
 
-        p = project(g, cam, cfg)
         bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles_pallas(p, bins, cam, cfg)
     else:

@@ -90,5 +90,87 @@ def main():
         print(f"blend (pallas)      : {t - floor_ms:8.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--slots" not in sys.argv:
     main()
+
+
+def profile_slots():
+    """Slot-path stage timings (python tools/profile_stages.py --slots)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", action="store_true")
+    ap.add_argument("--n", type=int, default=1_200_000)
+    ap.add_argument("--wh", default="1920x1080")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--pair-cap", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=128)
+    args = ap.parse_args()
+    W, H = map(int, args.wh.split("x"))
+
+    from gsjax import RenderConfig
+    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.render.binning import build_tile_bins
+    from gsjax.render.composite import att_table, clipped_pair_stream
+    from gsjax.render.pallas_flat import chunked_pair_attrs, blend_slots, _bwd_call
+    from gsjax.render.project import project
+
+    cfg = RenderConfig(pair_cap=args.pair_cap, chunk=args.chunk)
+    g = bonsai_like(n=args.n)
+    cam = bench_camera(width=W, height=H)
+
+    f_proj = jax.jit(lambda g: project(g, cam, cfg))
+    t, p = timeit(f_proj, g, reps=args.reps)
+    print(f"project             : {t:8.2f} ms")
+
+    f_bins = jax.jit(lambda p: build_tile_bins(p, cam, cfg))
+    t, bins = timeit(f_bins, p, reps=args.reps)
+    print(f"binning (pair sort) : {t:8.2f} ms   pairs={int(bins.n_pairs)}")
+
+    f_clip = jax.jit(lambda bins: clipped_pair_stream(bins, cfg))
+    t, (pid, starts, ndrop) = timeit(f_clip, bins, reps=args.reps)
+    print(f"clip stream         : {t:8.2f} ms   S={pid.shape[0]} dropped={int(ndrop)}")
+
+    k_slots = cfg.tile_span * cfg.tile_span
+    f_attr = jax.jit(lambda p, pid, starts: chunked_pair_attrs(att_table(p), pid, starts, cfg, k_slots))
+    t, (att_al, tile_of, cbase) = timeit(f_attr, p, pid, starts, reps=args.reps)
+    used = int(np.asarray(cbase)[-1])
+    print(f"slot attrs (gather) : {t:8.2f} ms   NCB={att_al.shape[0]} used={used}")
+
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+    f_fwd = jax.jit(lambda att_al, starts, cbase, tile_of, ty0: blend_slots(
+        att_al, starts, cbase, tile_of, ty0, tiles_x, band_rows, cfg))
+    t, (img_t, T_t) = timeit(f_fwd, att_al, starts, cbase, tile_of, bins.ty0, reps=args.reps)
+    print(f"blend fwd (pallas)  : {t:8.2f} ms")
+
+    import jax.numpy as jnp
+    ct_img = jnp.swapaxes(jnp.ones_like(img_t), 1, 2)
+    ct_T = jnp.ones_like(T_t)
+    from gsjax.render.pallas_flat import _fwd_call
+    fwd_out = jax.jit(lambda *a: _fwd_call(*a, tiles_x, band_rows, cfg))(
+        att_al, starts, cbase, tile_of, bins.ty0)
+    f_bwd = jax.jit(lambda att_al, starts, cbase, tile_of, ty0, fwd_out, ci, cT: _bwd_call(
+        att_al, starts, cbase, tile_of, ty0, fwd_out, ci, cT, tiles_x, band_rows, cfg))
+    t, datt = timeit(f_bwd, att_al, starts, cbase, tile_of, bins.ty0, fwd_out, ct_img, ct_T, reps=args.reps)
+    print(f"blend bwd (pallas)  : {t:8.2f} ms")
+
+    # pair-grad scatter-set + K reduce back to splats
+    N = args.n
+    from gsjax.render.pallas_flat import _gather_bwd
+    f_scat = jax.jit(lambda datt, pid_al: _gather_bwd(k_slots, (N, pid_al), datt)[0])
+    # rebuild pid_al the way chunked_pair_attrs does
+    from gsjax.render.pallas_flat import _slot_tables
+    ncb = att_al.shape[0]
+    tile_of2, win, cbase2, valid_count = jax.jit(
+        lambda starts: _slot_tables(starts, cfg.chunk, ncb))(starts)
+    pid_pad = jnp.concatenate([pid, jnp.zeros((cfg.chunk,), pid.dtype)])
+    pid_al = jax.vmap(lambda s: jax.lax.dynamic_slice(pid_pad, (s,), (cfg.chunk,)))(win)
+    lanev = jnp.arange(cfg.chunk, dtype=jnp.int32)[None, :]
+    pid_al = jnp.where(lanev < valid_count[:, None], pid_al, jnp.int32(N * k_slots))
+    t, _ = timeit(f_scat, datt, pid_al, reps=args.reps)
+    print(f"grad unsort+reduce  : {t:8.2f} ms")
+
+
+if __name__ == "__main__" and "--slots" in sys.argv:
+    profile_slots()
+    sys.exit(0)
