@@ -30,6 +30,7 @@ from gsjax.core.camera import Camera
 from gsjax.core.config import RenderConfig
 from gsjax.render.binning import TileBins
 from gsjax.render.common import gaussian_power
+from gsjax.render.fastmath import fexp
 from gsjax.render.project import ProjectedSplats
 
 ATT_DIM = 9  # mean2d(2) + conic(3) + rgb(3) + opacity(1)
@@ -109,7 +110,7 @@ def blend_padded(att, counts, ty0, tiles_x: int, band_rows: int, cfg: RenderConf
         dx = px_t[:, None] - mean_x[None, :]  # [n_px, chunk]
         dy = py_t[:, None] - mean_y[None, :]
         power = gaussian_power(conic[None, :, :], dx, dy)
-        alpha = jnp.minimum(cfg.alpha_clamp, op[None, :] * jnp.exp(power))
+        alpha = jnp.minimum(cfg.alpha_clamp, op[None, :] * fexp(power))
         eligible = valid_c[None, :] & (alpha >= cfg.alpha_min) & (power <= 0.0)
         f = jnp.where(eligible, 1.0 - alpha, 1.0)
         Cc = C[:, None] * jnp.cumprod(f, axis=1)  # virtual inclusive T

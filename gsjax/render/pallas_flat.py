@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.core.config import RenderConfig
+from gsjax.render.fastmath import fexp
 
 ATT_COLS = 9  # mean2(2) + conic(3) + rgb(3) + opacity(1)
 FWD_ROWS = 8  # img(3), T_act, C, n_done, spare(2)
@@ -75,7 +76,7 @@ def _chunk_quantities(att, px, py, srow, base, count, alpha_clamp, alpha_min):
     dx = px - mx  # [chunk, n_px]
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
+    G = fexp(power)
     raw = op * G
     alpha = jnp.minimum(alpha_clamp, raw)
     valid = (base + srow) < count  # [chunk, 1]

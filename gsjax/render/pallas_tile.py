@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.core.config import RenderConfig
 from gsjax.render.composite import blend_padded
+from gsjax.render.fastmath import fexp
 
 OUT_COLS = 8  # rgb(3), T_act(1), padding to a clean lane multiple
 
@@ -87,7 +88,7 @@ def _blend_kernel(
         dx = px - mx  # [n_px, chunk]
         dy = py - my
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
+        alpha = jnp.minimum(alpha_clamp, op * fexp(power))
         valid = (k * chunk + lane) < count
         eligible = jnp.logical_and(
             valid, jnp.logical_and(alpha >= alpha_min, power <= 0.0)
