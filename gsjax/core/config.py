@@ -39,7 +39,16 @@ class RenderConfig:
     transmittance_eps: float = 1e-4
     radius_sigma: float = 3.0
     background: tuple = (0.0, 0.0, 0.0)
-    backend: str = "auto"  # oracle | xla | pallas | auto
+    backend: str = "auto"  # oracle | xla | pallas | stream | auto
+    # --- stream backend (render/pallas_stream.py) ---
+    # VMEM band-scratch capacity in home-layout rows (the 3-tile-row ×
+    # (block+halo)-column candidate window); overflow is truncated and
+    # counted in RenderAux.n_band_overflow.
+    stream_band_cap: int = 49152
+    # tiles per band column-block (plus 1 halo tile each side)
+    stream_block_tiles: int = 30
+    # lanes per band DMA chunk (multiple of 128)
+    stream_dma_chunk: int = 4096
 
     def tiles_x(self, width: int) -> int:
         return -(-width // self.tile_size)

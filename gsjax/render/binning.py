@@ -83,10 +83,20 @@ def build_tile_bins(
     cfg: RenderConfig,
     ty0=None,
     band_rows: int = None,
+    anchor: str = "rect",
 ) -> TileBins:
     """Bin into the tile rows [ty0, ty0 + band_rows) — the whole image by
     default. `ty0` may be a traced value (each device of a tile-sharded
-    mesh bins only its own band); `band_rows` must be static."""
+    mesh bins only its own band); `band_rows` must be static.
+
+    `anchor` selects the slot-grid numbering of the static pair-expansion
+    budget: "rect" anchors slot (0,0) at the clamped rect's corner;
+    "home" (odd spans only) anchors the span×span grid centered on the
+    splat's home tile, so slot k IS the pair's home-relative class — the
+    property the stream backend's class-segment windows rely on. Both
+    anchors enumerate the SAME (tile, depth) pair set (clamp_rect_to_span
+    guarantees rect ⊆ home-centered window for odd spans), so the sorted
+    streams are bit-identical; only the pid↔slot numbering differs."""
     n = p.depth.shape[0]
     span = cfg.tile_span
     k_slots = span * span
@@ -115,11 +125,35 @@ def build_tile_bins(
     slot = jnp.arange(k_slots, dtype=jnp.int32)
     sx = (slot % span)[None, :]  # [1, K]
     sy = (slot // span)[None, :]
-    txs = x0[:, None] + sx  # [N, K]
-    tys = y0[:, None] + sy
+    if anchor == "home":
+        if span % 2 != 1:
+            raise ValueError("anchor='home' requires an odd tile_span")
+        # home tile CLIPPED to the image, matching homesort._home_keys —
+        # the stream kernel routes class c to band run c//span, which is
+        # only correct if the pair's class is relative to the segment the
+        # splat actually lives in (edge splats' homes are edge-clipped)
+        htx = jnp.clip(
+            jnp.floor(p.mean2d[:, 0] / cfg.tile_size).astype(jnp.int32),
+            0,
+            tiles_x - 1,
+        )
+        hty = jnp.clip(
+            jnp.floor(p.mean2d[:, 1] / cfg.tile_size).astype(jnp.int32),
+            0,
+            tiles_y - 1,
+        )
+        txs = (htx - span // 2)[:, None] + sx  # [N, K]
+        tys = (hty - span // 2)[:, None] + sy
+    elif anchor == "rect":
+        txs = x0[:, None] + sx  # [N, K]
+        tys = y0[:, None] + sy
+    else:
+        raise ValueError(f"unknown anchor {anchor!r}")
     pair_ok = (
         p.valid[:, None]
+        & (txs >= x0[:, None])
         & (txs < x1[:, None])
+        & (tys >= y0[:, None])
         & (tys < y1[:, None])
         & (tys >= ty0)
         & (tys < ty0 + band_rows)

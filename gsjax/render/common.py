@@ -45,10 +45,19 @@ def tile_rect(mean2d, radius, tiles_x, tiles_y, tile_size):
 
 def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span):
     """Clamp a tile rect to at most span×span tiles, centered on the
-    splat's own tile (the static pair-expansion budget — see
+    splat's own (home) tile (the static pair-expansion budget — see
     RenderConfig.tile_span). Returns (x0, y0, x1, y1, clamped_mask).
     All backends apply the same clamp so they agree exactly; the clamped
-    count is surfaced in RenderAux (no silent caps)."""
+    count is surfaced in RenderAux (no silent caps).
+
+    For ODD spans the rect is additionally intersected with the
+    span-window centered on the home tile, [home - span//2, home + span//2]
+    — the invariant the stream backend's class-segment layout relies on
+    (every pair's tile is one of span² fixed offsets from its splat's
+    home tile). This only trims sub-tile slivers of rects that were
+    already ≥ span wide on that axis (a rect ≤ span wide protrudes
+    beyond the centered window only when the mean sits within
+    (radius − tile_size) of a tile edge)."""
     mtx = jnp.floor(mean2d[..., 0] / tile_size).astype(jnp.int32)
     mty = jnp.floor(mean2d[..., 1] / tile_size).astype(jnp.int32)
     clamped = (x1 - x0 > span) | (y1 - y0 > span)
@@ -61,6 +70,14 @@ def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span):
 
     x0, x1 = clamp1(x0, x1, mtx)
     y0, y1 = clamp1(y0, y1, mty)
+    if span % 2 == 1:
+        h = span // 2
+        nx0 = jnp.maximum(x0, mtx - h)
+        nx1 = jnp.minimum(x1, mtx + h + 1)
+        ny0 = jnp.maximum(y0, mty - h)
+        ny1 = jnp.minimum(y1, mty + h + 1)
+        clamped = clamped | (nx0 != x0) | (nx1 != x1) | (ny0 != y0) | (ny1 != y1)
+        x0, x1, y0, y1 = nx0, nx1, ny0, ny1
     return x0, y0, x1, y1, clamped
 
 

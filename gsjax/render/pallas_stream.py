@@ -1,0 +1,913 @@
+"""Stream backend: gather-free Pallas tile blend over the home layout.
+
+The flat backend's frame cost is dominated by per-pair HBM row gathers
+(~7.4 ns/row, render/DESIGN.md): staging pair attributes costs one
+gather of P rows forward and an inverse-permutation gather of N·K rows
+backward. This backend eliminates both:
+
+  * splats are re-laid out once per frame in (home_tile, depth) order
+    (render/homesort.py), so the candidates of any tile are 9 contiguous
+    home segments of its 3×3 neighborhood;
+  * the kernel walks the image in 3-tile-row × (block+halo)-column
+    *bands*, DMA'd contiguously HBM→VMEM (no gather);
+  * per pair chunk, attributes are fetched from the band scratch with an
+    MXU one-hot matmul: onehot[r, c] = (pair_row[r] == window_id[c]) over
+    per-(slot, class) 128-lane windows — the TPU's "gather" is a matmul;
+  * attribute f32 exactness through the bf16 MXU comes from a hi/lo
+    bf16 split (hi + lo carries a 16+ bit mantissa; selection rows have a
+    single 1 so the f32 accumulation is exact);
+  * the backward accumulates pair gradients into a band-shaped VMEM
+    scratch through the transposed one-hot and flushes each band with a
+    sequential read-modify-write into one HBM gradient buffer (the grid
+    is sequential, so no races; the block's runs partition the loaded
+    rows disjointly). Gradients return to the caller's splat order via
+    one inverse-permutation row gather — no HBM scatter anywhere.
+
+Blend semantics (virtual-cumprod termination, graphdeco-equal) are
+identical to render/pallas_flat.py and the oracle; the forward/backward
+math is shared with that module.
+
+Capacity knobs (RenderConfig.stream_*): band overflow is truncated and
+counted in aux — never silently.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsjax.core.config import RenderConfig
+from gsjax.render.pallas_flat import (
+    ATT_COLS,
+    FWD_ROWS,
+    _chunk_quantities,
+    _hs_prod_sublanes,
+    _hs_suffix_sum_sublanes,
+    _pixel_grid,
+    _slot_tables,
+)
+
+WINW = 128  # window lanes per one-hot round
+TAB_ROWS = 32  # att table sublanes: 0:9 hi, 16:25 lo
+GRAD_ROWS = 16  # dcand scratch sublanes: 0:9 used
+
+
+def _ceil(a, b):
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# XLA-side tables
+# --------------------------------------------------------------------------
+
+
+def att_cols_table(cols, n_pad):
+    """9 f32 columns [N] → [32, n_pad] bf16 hi/lo table (rows 0:9 hi,
+    16:25 lo). Built by stacking column vectors — no transpose."""
+    n = cols[0].shape[0]
+    hi = [c.astype(jnp.bfloat16) for c in cols]
+    lo = [
+        (c - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        for c, h in zip(cols, hi)
+    ]
+    z = jnp.zeros((7, n), jnp.bfloat16)
+    tab = jnp.concatenate([jnp.stack(hi), z, jnp.stack(lo), z], axis=0)
+    return jnp.pad(tab, ((0, 0), (0, n_pad - n)))
+
+
+def slot_streams(pid_sorted, starts, cfg: RenderConfig, k_slots: int):
+    """Chunk-aligned per-slot row-id stream + per-(slot, class) one-hot
+    windows.
+
+    Returns (enc_al [NCB, chunk] i32 (row·16 + class)-encoded pair ids
+    (-1 dead), win32
+    [NCB, 32] i32 (cols 0:9 window base rows, 9:18 round counts),
+    tile_of [NCB], cbase [T+1])."""
+    chunk = cfg.chunk
+    S = pid_sorted.shape[0]
+    n_tiles = starts.shape[0] - 1
+    ncb = S // chunk + n_tiles + 1
+    tile_of, win, cbase, valid_count = _slot_tables(starts, chunk, ncb)
+
+    pid_pad = jnp.concatenate([pid_sorted, jnp.zeros((chunk,), pid_sorted.dtype)])
+    pid_al = jax.vmap(lambda s: jax.lax.dynamic_slice(pid_pad, (s,), (chunk,)))(
+        win
+    )  # [NCB, chunk]
+    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    alive = lane < valid_count[:, None]
+    rows_al = jnp.where(alive, pid_al // k_slots, -1)
+    class_al = jnp.where(alive, pid_al % k_slots, -1)
+    # (row, class)-encoded ids: the 128-aligned windows of different
+    # classes can overlap at segment boundaries, and a bare row id would
+    # then match (and double-count) in a neighbor class's window
+    enc_al = jnp.where(alive, pid_al // k_slots * 16 + class_al, -1)
+
+    big = jnp.int32(2**30)
+    los, nrs = [], []
+    for c in range(k_slots):
+        m = class_al == c
+        rmin = jnp.min(jnp.where(m, rows_al, big), axis=1)
+        rmax = jnp.max(jnp.where(m, rows_al, -1), axis=1)
+        lo = (rmin // WINW) * WINW
+        nr = jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0)
+        los.append(jnp.where(rmax >= 0, lo, 0))
+        nrs.append(nr)
+    pad = jnp.zeros((ncb, 32 - 2 * k_slots), jnp.int32)
+    win32 = jnp.concatenate(
+        [jnp.stack(los, axis=1), jnp.stack(nrs, axis=1), pad], axis=1
+    )
+    return enc_al, win32, tile_of, cbase
+
+
+def band_blocks(
+    seg_starts,
+    ty0,
+    tiles_x: int,
+    tiles_y: int,
+    band_rows: int,
+    cfg: RenderConfig,
+):
+    """Per (band row, column block) DMA descriptors.
+
+    Returns (blktab [NBLK·12] i32 — per run r∈{0,1,2} of each block:
+    (global start row, length in rows, scratch base lane); empty runs
+    get start=2^30 so window→run threshold selection never picks them —
+    and n_overflow_rows, the home rows truncated by stream_band_cap)."""
+    blkw = cfg.stream_block_tiles
+    dmach = cfg.stream_dma_chunk
+    cap = cfg.stream_band_cap
+    nbx = _ceil(tiles_x, blkw)
+    ty0 = jnp.asarray(ty0, jnp.int32)
+
+    y = jnp.arange(band_rows, dtype=jnp.int32)[:, None, None]  # [Y,1,1]
+    bx = jnp.arange(nbx, dtype=jnp.int32)[None, :, None]  # [1,B,1]
+    r = jnp.arange(3, dtype=jnp.int32)[None, None, :]  # [1,1,3]
+    row_abs = ty0 + y - 1 + r
+    row_ok = (row_abs >= 0) & (row_abs < tiles_y)
+    c0 = jnp.clip(bx * blkw - 1, 0, tiles_x)
+    c1 = jnp.clip(bx * blkw + blkw + 1, 0, tiles_x)
+    row_c = jnp.clip(row_abs, 0, tiles_y - 1)
+    a = row_c * tiles_x + c0
+    b = row_c * tiles_x + c1
+    s = jnp.where(row_ok, seg_starts[a], 0)  # exact run row ranges
+    e = jnp.where(row_ok, seg_starts[b], 0)
+    # DISJOINT dmach-granular partition with seamlessly packed scratch
+    # bases: start[r+1] = max(floor(s[r+1]), end[r]) and
+    # base[r+1] = base[r] + len[r], so every home row has exactly ONE
+    # scratch cell per block (the kernel's gradient scatter and the flush
+    # write-back rely on this), and boundary-straddling 128-row windows
+    # read seamlessly across run seams. Capacity truncation shortens far
+    # runs first and is counted.
+    cap_d = (cap // dmach) * dmach
+    st0 = (s[..., 0] // dmach) * dmach
+    en0 = jnp.maximum(st0, _ceil_j(e[..., 0], dmach) * dmach)
+    en0 = jnp.minimum(en0, st0 + cap_d)
+    st1 = jnp.maximum((s[..., 1] // dmach) * dmach, en0)
+    en1 = jnp.maximum(st1, _ceil_j(e[..., 1], dmach) * dmach)
+    en1 = jnp.minimum(en1, st1 + (cap_d - (en0 - st0)))
+    st2 = jnp.maximum((s[..., 2] // dmach) * dmach, en1)
+    en2 = jnp.maximum(st2, _ceil_j(e[..., 2], dmach) * dmach)
+    en2 = jnp.minimum(en2, st2 + (cap_d - (en0 - st0) - (en1 - st1)))
+    l0, l1, l2 = en0 - st0, en1 - st1, en2 - st2
+    n_overflow = jnp.sum(
+        jnp.maximum(e[..., 0] - en0, 0)
+        + jnp.maximum(e[..., 1] - en1, 0)
+        + jnp.maximum(e[..., 2] - en2, 0)
+    )
+    glo = jnp.stack([st0, st1, st2], axis=-1)
+    ln = jnp.stack([l0, l1, l2], axis=-1)
+    base = jnp.stack([jnp.zeros_like(l0), l0, l0 + l1], axis=-1)
+    glo = jnp.where(ln > 0, glo, jnp.int32(2**30))
+    blktab = jnp.stack([glo, ln, base, jnp.zeros_like(glo)], axis=-1)
+    return blktab.reshape(-1), n_overflow
+
+
+def _ceil_j(a, b):
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# kernel helpers
+# --------------------------------------------------------------------------
+
+
+def _blk_of(tc, tiles_x, nbx, blkw):
+    return (tc // tiles_x) * nbx + (tc % tiles_x) // blkw
+
+
+def _run_info(blktab_ref, blk, r):
+    """(global start row, length in rows, scratch base lane) of run r.
+    Lengths are dmach multiples; bases are seamlessly packed
+    (base[r+1] = base[r] + len[r]); empty runs have start = 2^30."""
+    o = blk * 12 + r * 4
+    return blktab_ref[o], blktab_ref[o + 1], blktab_ref[o + 2]
+
+
+def _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach):
+    """DMA the block's 3 runs into the band scratch (start-all, wait-all;
+    the disjoint dmach-granular run partition makes every copy's target
+    region unique)."""
+    for phase in ("start", "wait"):
+        for r in range(3):
+            glo, ln, base = _run_info(blktab_ref, blk, r)
+
+            def body(i, _, glo=glo, base=base):
+                cp = pltpu.make_async_copy(
+                    att_any.at[
+                        :, pl.ds(pl.multiple_of(glo + i * dmach, dmach), dmach)
+                    ],
+                    band_ref.at[
+                        :, pl.ds(pl.multiple_of(base + i * dmach, dmach), dmach)
+                    ],
+                    sem,
+                )
+                if phase == "start":  # noqa: B023 — captured by closure on purpose
+                    cp.start()
+                else:
+                    cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, ln // dmach, body, 0)
+
+
+def _win_to_scratch(blktab_ref, blk, lo_c):
+    """Translate a global window base row to its band-scratch lane.
+    The runs partition the loaded rows disjointly with seamlessly packed
+    bases, so threshold selection is unambiguous, and a 128-row window
+    that straddles a run seam (its floor-128 base dips into the previous
+    run's range at a tile-row boundary) still reads the right rows —
+    the global→scratch mapping is continuous across touching runs.
+    Returns (scratch lane, total loaded scratch extent for the cap
+    guard)."""
+    g0, l0, b0 = _run_info(blktab_ref, blk, 0)
+    g1, l1, b1 = _run_info(blktab_ref, blk, 1)
+    g2, l2, b2 = _run_info(blktab_ref, blk, 2)
+    off = jnp.where(
+        lo_c >= g2,
+        lo_c - g2 + b2,
+        jnp.where(lo_c >= g1, lo_c - g1 + b1, lo_c - g0 + b0),
+    )
+    return off, b2 + l2
+
+
+def _gather_att(
+    win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach, cap,
+    origin,
+):
+    """One-hot MXU gather of this chunk's pair attributes.
+
+    The table stores means RELATIVE to each splat's home-tile origin
+    (values in [0, tile_size): the bf16 hi/lo split then carries a
+    resolution-independent ~1e-4 px error instead of ~width·2^-17); the
+    absolute mean is reconstructed here by adding the per-class home
+    origin, routed through the same one-hot (a matched row's indicator is
+    the one-hot row sum). `origin` = (tile_origin_x, tile_origin_y,
+    tile_size). Returns [chunk, 9] f32 absolute attributes
+    (dead/out-of-window/cap-truncated rows → 0)."""
+    tox, toy, ts = origin
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+    acc = jnp.zeros((chunk, TAB_ROWS), jnp.float32)
+    addx = jnp.zeros((chunk, 1), jnp.float32)
+    addy = jnp.zeros((chunk, 1), jnp.float32)
+    for c in range(k_slots):
+        lo_c = win_ref[0, 0, c]
+        nr_c = win_ref[0, 0, k_slots + c]
+        off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
+        ox = (tox + (1 - c % 3) * ts).astype(jnp.float32)
+        oy = (toy + (1 - c // 3) * ts).astype(jnp.float32)
+
+        def body(r, carry, c=c, lo_c=lo_c, off_c=off_c, end_c=end_c, ox=ox, oy=oy):
+            acc, addx, addy = carry
+            ids = (lo_c + r * WINW + lane) * 16 + c  # (row, class) encoded
+            ok = off_c + r * WINW + WINW <= end_c  # cap truncation guard
+            oh = jnp.where(rows2 == ids, jnp.where(ok, 1.0, 0.0), 0.0).astype(
+                jnp.bfloat16
+            )  # [chunk, WINW]
+            start = jnp.clip(off_c + r * WINW, 0, cap - WINW)
+            w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
+            acc = acc + jax.lax.dot_general(
+                oh,
+                w,  # [TAB_ROWS, WINW]
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ind = jnp.sum(oh, axis=1, keepdims=True).astype(jnp.float32)
+            return (acc, addx + ind * ox, addy + ind * oy)
+
+        acc, addx, addy = jax.lax.fori_loop(0, nr_c, body, (acc, addx, addy))
+    att = acc[:, 0:ATT_COLS] + acc[:, 16 : 16 + ATT_COLS]
+    return jnp.concatenate(
+        [att[:, 0:1] + addx, att[:, 1:2] + addy, att[:, 2:]], axis=1
+    )
+
+
+def _scatter_grad(
+    win_ref, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots, dmach, cap
+):
+    """Transposed one-hot MXU scatter: accumulate datt [chunk, 9] into the
+    band-shaped gradient scratch (hi/lo bf16 split keeps ~16 mantissa
+    bits through the MXU)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+    dpad = jnp.concatenate(
+        [datt, jnp.zeros((chunk, GRAD_ROWS - ATT_COLS), jnp.float32)], axis=1
+    )
+    dh = dpad.astype(jnp.bfloat16)
+    dl = (dpad - dh.astype(jnp.float32)).astype(jnp.bfloat16)
+    for c in range(k_slots):
+        lo_c = win_ref[0, 0, c]
+        nr_c = win_ref[0, 0, k_slots + c]
+        off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
+
+        def body(r, _, c=c, lo_c=lo_c, off_c=off_c, end_c=end_c):
+            ids = (lo_c + r * WINW + lane) * 16 + c  # (row, class) encoded
+            ok = off_c + r * WINW + WINW <= end_c
+            oh = jnp.where(rows2 == ids, jnp.where(ok, 1.0, 0.0), 0.0).astype(
+                jnp.bfloat16
+            )  # [chunk, WINW]
+            upd = jax.lax.dot_general(
+                dh,
+                oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                dl,
+                oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GRAD_ROWS, WINW]
+            start = jnp.clip(off_c + r * WINW, 0, cap - WINW)
+            sl = pl.ds(pl.multiple_of(start, WINW), WINW)
+            dcand_ref[:, sl] = dcand_ref[:, sl] + upd
+            return 0
+
+        jax.lax.fori_loop(0, nr_c, body, 0)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _stream_fwd_kernel(
+    starts_ref,  # [T+2] i32 scalar prefetch
+    cbase_ref,  # [T+1]
+    tof_ref,  # [NCB]
+    meta_ref,  # [4]: ty0, tiles_x, nbx, blkw
+    blktab_ref,  # [NBLK·12]
+    rows_ref,  # [1, chunk] i32 block (slot j)
+    win_ref,  # [1, 32] i32 block (slot j)
+    att_any,  # [32, NP] bf16, HBM
+    out_ref,  # [1, FWD_ROWS, n_px] block (tile)
+    band_ref,  # VMEM scratch [32, cap] bf16
+    sem,
+    cur_ref,  # SMEM [2] i32
+    *,
+    ts: int,
+    chunk: int,
+    k_slots: int,
+    n_tiles: int,
+    dmach: int,
+    cap: int,
+    alpha_clamp: float,
+    alpha_min: float,
+    eps_T: float,
+):
+    n_px = ts * ts
+    j = pl.program_id(0)
+    t = tof_ref[j]
+    dead = t == n_tiles
+    tc = jnp.minimum(t, n_tiles - 1)
+    k = j - cbase_ref[tc]
+    count = starts_ref[tc + 1] - starts_ref[tc]
+    tiles_x = meta_ref[1]
+    px, py = _pixel_grid(tc, meta_ref[0], tiles_x, ts, n_px)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    @pl.when(j == 0)
+    def _():
+        cur_ref[0] = -1
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = jnp.concatenate(
+            [
+                jnp.zeros((3, n_px), jnp.float32),
+                jnp.ones((2, n_px), jnp.float32),
+                jnp.zeros((FWD_ROWS - 5, n_px), jnp.float32),
+            ],
+            axis=0,
+        )
+
+    C = out_ref[0, 4:5, :]
+    live = jnp.logical_and(jnp.logical_not(dead), jnp.max(C) >= eps_T)
+    blk = _blk_of(tc, tiles_x, meta_ref[2], meta_ref[3])
+
+    @pl.when(jnp.logical_and(live, blk != cur_ref[0]))
+    def _():
+        _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
+        cur_ref[0] = blk
+
+    @pl.when(live)
+    def _():
+        rows2 = jnp.swapaxes(rows_ref[0], 0, 1)  # [chunk, 1] i32
+        origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
+        att = _gather_att(
+            win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
+            cap, origin,
+        )
+
+        alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
+            att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
+        )
+        incl = _hs_prod_sublanes(f, srow, chunk)
+        excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
+        Cc = C * incl
+        include = jnp.logical_and(eligible, Cc >= eps_T)
+        w = jnp.where(include, C * excl * alpha, 0.0)
+
+        img = out_ref[0, 0:3, :] + jax.lax.dot_general(
+            att[:, 5:8],
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        t_min = jnp.min(jnp.where(include, Cc, 2.0), axis=0, keepdims=True)
+        T_act = out_ref[0, 3:4, :]
+        T_act = jnp.where(t_min > 1.5, T_act, t_min)
+        n_done = jnp.full((1, n_px), k + 1, jnp.float32)
+        pad = jnp.zeros((FWD_ROWS - 6, n_px), jnp.float32)
+        out_ref[0] = jnp.concatenate([img, T_act, Cc[-1:, :], n_done, pad], axis=0)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+
+def _stream_bwd_kernel(
+    starts_ref,
+    cbase_ref,
+    tof_rev_ref,  # [NCB]: tile of slot NCB-1-j
+    meta_ref,
+    blktab_ref,
+    rows_ref,  # [1, chunk] block of slot NCB-1-j
+    win_ref,  # [1, 32] block of slot NCB-1-j
+    att_any,  # [32, NP] bf16 HBM
+    dzero_any,  # [GRAD_ROWS, NP] f32 HBM (aliased to dgrad_any)
+    ct_ref,  # [1, 4, n_px] block (tile)
+    fwd_ref,  # [1, FWD_ROWS, n_px] block (tile)
+    dgrad_any,  # out [GRAD_ROWS, NP] f32 HBM (RMW-accumulated)
+    state_ref,  # out [1, 8, n_px] block (tile)
+    band_ref,  # VMEM [32, cap] bf16
+    dcand_ref,  # VMEM [GRAD_ROWS, cap] f32
+    stage_ref,  # VMEM [GRAD_ROWS, cap] f32 (RMW read staging)
+    sem,
+    gsem,
+    cur_ref,  # SMEM [2] i32
+    *,
+    ts: int,
+    chunk: int,
+    k_slots: int,
+    n_tiles: int,
+    nbx: int,
+    dmach: int,
+    cap: int,
+    alpha_clamp: float,
+    alpha_min: float,
+    eps_T: float,
+):
+    del dzero_any  # aliased storage; all access goes through dgrad_any
+    n_px = ts * ts
+    j = pl.program_id(0)
+    t = tof_rev_ref[j]
+    dead = t == n_tiles
+    tc = jnp.minimum(t, n_tiles - 1)
+    slot = pl.num_programs(0) - 1 - j
+    k = slot - cbase_ref[tc]
+    nslots_t = cbase_ref[tc + 1] - cbase_ref[tc]
+    count = starts_ref[tc + 1] - starts_ref[tc]
+    tiles_x = meta_ref[1]
+    px, py = _pixel_grid(tc, meta_ref[0], tiles_x, ts, n_px)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    @pl.when(j == 0)
+    def _():
+        cur_ref[0] = -1
+
+    def flush(blkprev):
+        # Read-modify-write accumulation into the single HBM gradient
+        # buffer. The grid is sequential so cross-block RMW is race-free,
+        # and the block's runs partition the loaded rows disjointly
+        # (band_blocks), so the read / write copies never touch the same
+        # HBM row twice within one flush.
+        for phase in ("start", "wait"):
+            for r in range(3):
+                glo, ln, base = _run_info(blktab_ref, blkprev, r)
+
+                def body(i, _, glo=glo, base=base):
+                    cp = pltpu.make_async_copy(
+                        dgrad_any.at[
+                            :,
+                            pl.ds(pl.multiple_of(glo + i * dmach, dmach), dmach),
+                        ],
+                        stage_ref.at[
+                            :,
+                            pl.ds(pl.multiple_of(base + i * dmach, dmach), dmach),
+                        ],
+                        gsem,
+                    )
+                    if phase == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, ln // dmach, body, 0)
+        dcand_ref[...] = dcand_ref[...] + stage_ref[...]
+        for phase in ("start", "wait"):
+            for r in range(3):
+                glo, ln, base = _run_info(blktab_ref, blkprev, r)
+
+                def body(i, _, glo=glo, base=base):
+                    cp = pltpu.make_async_copy(
+                        dcand_ref.at[
+                            :,
+                            pl.ds(pl.multiple_of(base + i * dmach, dmach), dmach),
+                        ],
+                        dgrad_any.at[
+                            :,
+                            pl.ds(pl.multiple_of(glo + i * dmach, dmach), dmach),
+                        ],
+                        gsem,
+                    )
+                    if phase == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, ln // dmach, body, 0)
+
+    blk = _blk_of(tc, tiles_x, nbx, meta_ref[3])
+
+    @pl.when(jnp.logical_and(jnp.logical_not(dead), blk != cur_ref[0]))
+    def _():
+        @pl.when(cur_ref[0] >= 0)
+        def _():
+            flush(cur_ref[0])
+
+        dcand_ref[...] = jnp.zeros((GRAD_ROWS, cap), jnp.float32)
+        _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
+        cur_ref[0] = blk
+
+    @pl.when(jnp.logical_and(k == nslots_t - 1, jnp.logical_not(dead)))
+    def _():
+        state_ref[0] = jnp.concatenate(
+            [fwd_ref[0, 4:5, :], jnp.zeros((7, n_px), jnp.float32)], axis=0
+        )
+
+    n_done = fwd_ref[0, 5, 0].astype(jnp.int32)
+    live = jnp.logical_and(jnp.logical_not(dead), k < n_done)
+
+    @pl.when(live)
+    def _():
+        rows2 = jnp.swapaxes(rows_ref[0], 0, 1)
+        origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
+        att = _gather_att(
+            win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
+            cap, origin,
+        )
+
+        ct_img = ct_ref[0, 0:3, :]
+        ct_T = ct_ref[0, 3:4, :]
+        T_act = fwd_ref[0, 3:4, :]
+        C_exit = state_ref[0, 0:1, :]
+        S_carry = state_ref[0, 1:2, :]
+
+        alpha, eligible, f, G, dx, dy, unclamped = _chunk_quantities(
+            att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
+        )
+        incl = _hs_prod_sublanes(f, srow, chunk)
+        excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
+        C_entry = C_exit / jnp.maximum(incl[-1:, :], 1e-30)
+        Cc = C_entry * incl
+        include = jnp.logical_and(eligible, Cc >= eps_T)
+        T_i = C_entry * excl
+        w = jnp.where(include, T_i * alpha, 0.0)
+
+        v = jax.lax.dot_general(
+            att[:, 5:8],
+            ct_img,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vw = v * w
+        sfx = _hs_suffix_sum_sublanes(vw, srow, chunk)
+        U = S_carry + (sfx - vw)
+
+        inv_f = 1.0 / f
+        ctT_Tact = ct_T * T_act
+        dalpha = jnp.where(include, v * T_i - (U + ctT_Tact) * inv_f, 0.0)
+
+        dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+        ca, cb, cc = att[:, 2:3], att[:, 3:4], att[:, 4:5]
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        dmy = jnp.sum(dpow * (cb * dx + cc * dy), axis=1, keepdims=True)
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        dop = jnp.sum(jnp.where(unclamped, dalpha * G, 0.0), axis=1, keepdims=True)
+        drgb = jax.lax.dot_general(
+            w,
+            ct_img,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        datt = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop], axis=1)
+
+        _scatter_grad(
+            win_ref, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots,
+            dmach, cap,
+        )
+
+        state_ref[0] = jnp.concatenate(
+            [C_entry, S_carry + sfx[0:1, :], jnp.zeros((6, n_px), jnp.float32)],
+            axis=0,
+        )
+
+    @pl.when(jnp.logical_and(j == pl.num_programs(0) - 1, cur_ref[0] >= 0))
+    def _():
+        flush(cur_ref[0])
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+
+def _meta(ty0, tiles_x, nbx, blkw):
+    return jnp.stack(
+        [
+            jnp.asarray(ty0, jnp.int32),
+            jnp.asarray(tiles_x, jnp.int32),
+            jnp.asarray(nbx, jnp.int32),
+            jnp.asarray(blkw, jnp.int32),
+        ]
+    )
+
+
+def _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+              tiles_x, band_rows, cfg: RenderConfig):
+    ts = cfg.tile_size
+    n_px = ts * ts
+    n_tiles = tiles_x * band_rows
+    ncb = rows_al.shape[0]
+    k_slots = cfg.tile_span * cfg.tile_span
+    nbx = _ceil(tiles_x, cfg.stream_block_tiles)
+    starts_pad = jnp.concatenate([starts, starts[-1:]])
+    meta = _meta(ty0, tiles_x, nbx, cfg.stream_block_tiles)
+    kernel = partial(
+        _stream_fwd_kernel,
+        ts=ts,
+        chunk=cfg.chunk,
+        k_slots=k_slots,
+        n_tiles=n_tiles,
+        dmach=cfg.stream_dma_chunk,
+        cap=cfg.stream_band_cap,
+        alpha_clamp=cfg.alpha_clamp,
+        alpha_min=cfg.alpha_min,
+        eps_T=cfg.transmittance_eps,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ncb,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cfg.chunk),
+                lambda j, *_: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 32), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, FWD_ROWS, n_px),
+            lambda j, st, cb, tof, m, bt: (tof[j], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TAB_ROWS, cfg.stream_band_cap), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, FWD_ROWS, n_px), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(starts_pad, cbase, tile_of, meta, blktab, rows_al[:, None, :], win32[:, None, :], att_tab)
+    out = out[:n_tiles]
+    empty = (starts[1:] == starts[:-1])[:, None, None]
+    base = jnp.concatenate(
+        [
+            jnp.zeros((1, 3, 1), jnp.float32),
+            jnp.ones((1, 2, 1), jnp.float32),
+            jnp.zeros((1, FWD_ROWS - 5, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    return jnp.where(empty, base, out)
+
+
+def _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+              fwd_out, ct_img, ct_T, tiles_x, band_rows, cfg: RenderConfig):
+    ts = cfg.tile_size
+    n_px = ts * ts
+    n_tiles = tiles_x * band_rows
+    ncb = rows_al.shape[0]
+    n_pad = att_tab.shape[1]
+    k_slots = cfg.tile_span * cfg.tile_span
+    nbx = _ceil(tiles_x, cfg.stream_block_tiles)
+    starts_pad = jnp.concatenate([starts, starts[-1:]])
+    meta = _meta(ty0, tiles_x, nbx, cfg.stream_block_tiles)
+    tof_rev = tile_of[::-1]
+    ct = jnp.concatenate([ct_img, ct_T[:, None, :]], axis=1)
+    ct = jnp.concatenate([ct, jnp.zeros((1, 4, n_px), jnp.float32)], axis=0)
+    fwd_pad = jnp.concatenate(
+        [fwd_out, jnp.zeros((1, FWD_ROWS, n_px), jnp.float32)], axis=0
+    )
+    dzero = jnp.zeros((GRAD_ROWS, n_pad), jnp.float32)
+
+    kernel = partial(
+        _stream_bwd_kernel,
+        ts=ts,
+        chunk=cfg.chunk,
+        k_slots=k_slots,
+        n_tiles=n_tiles,
+        nbx=nbx,
+        dmach=cfg.stream_dma_chunk,
+        cap=cfg.stream_band_cap,
+        alpha_clamp=cfg.alpha_clamp,
+        alpha_min=cfg.alpha_min,
+        eps_T=cfg.transmittance_eps,
+    )
+
+    def slot_idx(j, *_):
+        return (ncb - 1 - j, 0, 0)
+
+    def tile_idx(j, st, cb, tofr, m, bt):
+        return (tofr[j], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ncb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.chunk), slot_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 32), slot_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 4, n_px), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FWD_ROWS, n_px), tile_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, n_px), tile_idx, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TAB_ROWS, cfg.stream_band_cap), jnp.bfloat16),
+            pltpu.VMEM((GRAD_ROWS, cfg.stream_band_cap), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, cfg.stream_band_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    dgrad, _state = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((GRAD_ROWS, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 8, n_px), jnp.float32),
+        ],
+        input_output_aliases={8: 0},  # dzero (after 5 prefetch + 3 inputs)
+        interpret=jax.default_backend() != "tpu",
+    )(
+        starts_pad, cbase, tof_rev, meta, blktab,
+        rows_al[:, None, :], win32[:, None, :], att_tab, dzero, ct, fwd_pad,
+    )
+    return dgrad  # [GRAD_ROWS, NP]
+
+
+# --------------------------------------------------------------------------
+# differentiable entry point
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def blend_stream(cols, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+                 tiles_x, band_rows, cfg):
+    """Stream tile blend. cols = 9 home-layout f32 columns
+    (mx, my, conic a/b/c, r, g, b, opacity), each [N].
+    Returns (img [T, n_px, 3], T_act [T, n_px])."""
+    n_pad = _table_pad(cols[0].shape[0], cfg)
+    att_tab = att_cols_table(cols, n_pad)
+    out = _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+                    ty0, tiles_x, band_rows, cfg)
+    return jnp.swapaxes(out[:, 0:3, :], 1, 2), out[:, 3, :]
+
+
+def _table_pad(n, cfg):
+    d = cfg.stream_dma_chunk
+    return _ceil(n, d) * d + d
+
+
+def _blend_stream_fwd(cols, rows_al, win32, blktab, starts, cbase, tile_of,
+                      ty0, tiles_x, band_rows, cfg):
+    n_pad = _table_pad(cols[0].shape[0], cfg)
+    att_tab = att_cols_table(cols, n_pad)
+    out = _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+                    ty0, tiles_x, band_rows, cfg)
+    res = (att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0, out,
+           cols[0].shape[0])
+    return (jnp.swapaxes(out[:, 0:3, :], 1, 2), out[:, 3, :]), res
+
+
+def _blend_stream_bwd(tiles_x, band_rows, cfg, res, cts):
+    (att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0, fwd_out,
+     n) = res
+    ct_img_t, ct_T = cts
+    ct_img = jnp.swapaxes(ct_img_t, 1, 2)
+    dgrad = _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+                      ty0, fwd_out, ct_img, ct_T, tiles_x, band_rows, cfg)
+    dcols = tuple(dgrad[i, :n] for i in range(ATT_COLS))
+    f0 = jax.dtypes.float0
+    z = lambda x: np.zeros(jnp.shape(x), f0)
+    return (dcols, z(rows_al), z(win32), z(blktab), z(starts), z(cbase),
+            z(tile_of), z(ty0))
+
+
+blend_stream.defvjp(_blend_stream_fwd, _blend_stream_bwd)
+
+
+# --------------------------------------------------------------------------
+# render-pipeline integration
+# --------------------------------------------------------------------------
+
+
+def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
+    """Composite the tile band covered by `bins` with the stream kernels.
+
+    `p` must be projected from the HOME-ordered scene (homesort.
+    build_home_layout) and `bins` built with anchor="home"."""
+    from gsjax.render.composite import assemble_band, clipped_pair_stream
+
+    if cfg.tile_span != 3:
+        raise ValueError("stream backend requires tile_span == 3")
+    k_slots = cfg.tile_span * cfg.tile_span
+    pid, starts, n_dropped = clipped_pair_stream(bins, cfg)
+    rows_al, win32, tile_of, cbase = slot_streams(pid, starts, cfg, k_slots)
+    blktab, n_ovf = band_blocks(
+        layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
+        bins.band_rows, cfg,
+    )
+    # means stored relative to the (clipped) home-tile origin so the
+    # bf16 hi/lo table error stays ~1e-4 px at any image resolution; the
+    # kernel adds the per-class home origin back (see _gather_att)
+    ts = float(cfg.tile_size)
+    htx = jnp.clip(
+        jnp.floor(p.mean2d[:, 0] / ts), 0, bins.tiles_x - 1
+    )
+    hty = jnp.clip(
+        jnp.floor(p.mean2d[:, 1] / ts), 0, layout.tiles_y - 1
+    )
+    cols = (
+        p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
+        p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
+        p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2],
+        p.opacity,
+    )
+    img_t, T_t = blend_stream(
+        cols, rows_al, win32, blktab, starts, cbase, tile_of, bins.ty0,
+        bins.tiles_x, bins.band_rows, cfg,
+    )
+    img, T_map = assemble_band(img_t, T_t, bins, cfg)
+    aux = {
+        "transmittance": T_map,
+        "n_clamped": bins.n_clamped,
+        "n_pairs": bins.n_pairs,
+        "n_tile_overflow": jnp.zeros((), jnp.int32),
+        "n_pair_overflow": n_dropped,
+        "n_band_overflow": n_ovf,
+    }
+    return img, aux

@@ -55,6 +55,8 @@ def render(
                 p = ps(p, cam, cfg)
             return composite_oracle(p, cam, cfg, return_aux=return_aux)
         return render_oracle(g, cam, cfg, return_aux=return_aux)
+    if backend == "stream":
+        return _render_stream(g, cam, cfg, return_aux, passes)
     p = project(g, cam, cfg)
     for ps in passes:
         p = ps(p, cam, cfg)
@@ -73,6 +75,26 @@ def render(
         img, aux = composite_tiles_pallas(p, bins, cam, cfg)
     else:
         raise ValueError(f"unknown backend {backend!r}")
+    img = img[: cam.height, : cam.width]
+    aux["transmittance"] = aux["transmittance"][: cam.height, : cam.width]
+    if return_aux:
+        aux["projected"] = p
+        return img, aux
+    return img
+
+
+def _render_stream(g, cam, cfg, return_aux, passes):
+    """Stream backend: home-layout re-sort → project → home-anchored bins
+    → gather-free Pallas blend (render/pallas_stream.py)."""
+    from gsjax.render.homesort import build_home_layout
+    from gsjax.render.pallas_stream import composite_tiles_stream
+
+    g_home, layout = build_home_layout(g, cam, cfg)
+    p = project(g_home, cam, cfg)
+    for ps in passes:
+        p = ps(p, cam, cfg)
+    bins = build_tile_bins(p, cam, cfg, anchor="home")
+    img, aux = composite_tiles_stream(p, layout, bins, cam, cfg)
     img = img[: cam.height, : cam.width]
     aux["transmittance"] = aux["transmittance"][: cam.height, : cam.width]
     if return_aux:
