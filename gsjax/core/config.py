@@ -45,8 +45,9 @@ class RenderConfig:
     # (block+halo)-column candidate window); overflow is truncated and
     # counted in RenderAux.n_band_overflow.
     stream_band_cap: int = 49152
-    # tiles per band column-block (plus 1 halo tile each side)
-    stream_block_tiles: int = 30
+    # tiles per band column-block (plus 1 halo tile each side); smaller
+    # blocks bound the dense-center worst case under stream_band_cap
+    stream_block_tiles: int = 8
     # lanes per band DMA chunk (multiple of 128)
     stream_dma_chunk: int = 4096
 

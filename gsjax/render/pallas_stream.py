@@ -80,48 +80,39 @@ def att_cols_table(cols, n_pad):
     return jnp.pad(tab, ((0, 0), (0, n_pad - n)))
 
 
-def slot_streams(pid_sorted, starts, cfg: RenderConfig, k_slots: int):
-    """Chunk-aligned per-slot row-id stream + per-(slot, class) one-hot
-    windows.
+PACKW = 32  # pid-stream packing width (row gathers are priced per row)
 
-    Returns (enc_al [NCB, chunk] i32 (row·16 + class)-encoded pair ids
-    (-1 dead), win32
-    [NCB, 32] i32 (cols 0:9 window base rows, 9:18 round counts),
-    tile_of [NCB], cbase [T+1])."""
+
+def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
+    """Per-slot raw-pid windows, gathered as PACKW-wide rows.
+
+    Every formulation of the chunk-aligned window slice (vmap
+    dynamic_slice, flat index gather, lax.gather with slice sizes)
+    lowers to an elementwise gather (~9-14 ns per ELEMENT measured),
+    so instead the pid stream is viewed as [S/32, 32] rows and each slot
+    gathers ceil((chunk+128)/32) rows starting at floor32 of its window —
+    ~30× fewer gather rows. The kernel rotates the raw window into place
+    (win % 32 lanes), decodes (row, class), and derives its own one-hot
+    class windows; no other per-slot table is materialized.
+
+    Returns (pidwin [NCB, chunk+128] i32 raw, tile_of [NCB], cbase)."""
     chunk = cfg.chunk
     S = pid_sorted.shape[0]
     n_tiles = starts.shape[0] - 1
     ncb = S // chunk + n_tiles + 1
-    tile_of, win, cbase, valid_count = _slot_tables(starts, chunk, ncb)
+    tile_of, win, cbase, _valid = _slot_tables(starts, chunk, ncb)
 
-    pid_pad = jnp.concatenate([pid_sorted, jnp.zeros((chunk,), pid_sorted.dtype)])
-    pid_al = jax.vmap(lambda s: jax.lax.dynamic_slice(pid_pad, (s,), (chunk,)))(
-        win
-    )  # [NCB, chunk]
-    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    alive = lane < valid_count[:, None]
-    rows_al = jnp.where(alive, pid_al // k_slots, -1)
-    class_al = jnp.where(alive, pid_al % k_slots, -1)
-    # (row, class)-encoded ids: the 128-aligned windows of different
-    # classes can overlap at segment boundaries, and a bare row id would
-    # then match (and double-count) in a neighbor class's window
-    enc_al = jnp.where(alive, pid_al // k_slots * 16 + class_al, -1)
-
-    big = jnp.int32(2**30)
-    los, nrs = [], []
-    for c in range(k_slots):
-        m = class_al == c
-        rmin = jnp.min(jnp.where(m, rows_al, big), axis=1)
-        rmax = jnp.max(jnp.where(m, rows_al, -1), axis=1)
-        lo = (rmin // WINW) * WINW
-        nr = jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0)
-        los.append(jnp.where(rmax >= 0, lo, 0))
-        nrs.append(nr)
-    pad = jnp.zeros((ncb, 32 - 2 * k_slots), jnp.int32)
-    win32 = jnp.concatenate(
-        [jnp.stack(los, axis=1), jnp.stack(nrs, axis=1), pad], axis=1
+    lanes = chunk + WINW
+    nrow = lanes // PACKW
+    n_pack = _ceil(S, PACKW) + nrow
+    pid_rows = jnp.pad(pid_sorted, (0, n_pack * PACKW - S)).reshape(-1, PACKW)
+    idx = jnp.clip(
+        (win // PACKW)[:, None] + jnp.arange(nrow, dtype=jnp.int32)[None, :],
+        0,
+        pid_rows.shape[0] - 1,
     )
-    return enc_al, win32, tile_of, cbase
+    pidwin = pid_rows[idx].reshape(ncb, lanes)
+    return pidwin, tile_of, cbase
 
 
 def band_blocks(
@@ -255,8 +246,34 @@ def _win_to_scratch(blktab_ref, blk, lo_c):
     return off, b2 + l2
 
 
+def _decode_windows(rows_ref, win, count, k, chunk, k_slots, srow):
+    """Rotate the raw PACKW-aligned pid window into place, decode
+    (row, class), and derive per-class one-hot windows in-kernel.
+
+    Returns (enc2 [chunk, 1] i32 encoded ids (-1 invalid), los, nrs —
+    python lists of 9 scalars)."""
+    lanes = chunk + WINW
+    sh = win % PACKW
+    raw = pltpu.roll(rows_ref[0, 0:1, :], lanes - sh, 1)  # [1, lanes]
+    rows = jnp.swapaxes(raw[:, :chunk], 0, 1)  # [chunk, 1]
+    valid = (k * chunk + srow) < count
+    sid = rows // k_slots
+    cls = rows - sid * k_slots
+    enc2 = jnp.where(valid, sid * 16 + cls, -1)
+    big = jnp.int32(2**30)
+    los, nrs = [], []
+    for c in range(k_slots):
+        m = jnp.logical_and(valid, cls == c)
+        rmin = jnp.min(jnp.where(m, sid, big))
+        rmax = jnp.max(jnp.where(m, sid, -1))
+        lo = (rmin // WINW) * WINW
+        los.append(jnp.where(rmax >= 0, lo, 0))
+        nrs.append(jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0))
+    return enc2, los, nrs
+
+
 def _gather_att(
-    win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach, cap,
+    los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach, cap,
     origin,
 ):
     """One-hot MXU gather of this chunk's pair attributes.
@@ -275,8 +292,8 @@ def _gather_att(
     addx = jnp.zeros((chunk, 1), jnp.float32)
     addy = jnp.zeros((chunk, 1), jnp.float32)
     for c in range(k_slots):
-        lo_c = win_ref[0, 0, c]
-        nr_c = win_ref[0, 0, k_slots + c]
+        lo_c = los[c]
+        nr_c = nrs[c]
         off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
         ox = (tox + (1 - c % 3) * ts).astype(jnp.float32)
         oy = (toy + (1 - c // 3) * ts).astype(jnp.float32)
@@ -307,7 +324,7 @@ def _gather_att(
 
 
 def _scatter_grad(
-    win_ref, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots, dmach, cap
+    los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots, dmach, cap
 ):
     """Transposed one-hot MXU scatter: accumulate datt [chunk, 9] into the
     band-shaped gradient scratch (hi/lo bf16 split keeps ~16 mantissa
@@ -319,8 +336,8 @@ def _scatter_grad(
     dh = dpad.astype(jnp.bfloat16)
     dl = (dpad - dh.astype(jnp.float32)).astype(jnp.bfloat16)
     for c in range(k_slots):
-        lo_c = win_ref[0, 0, c]
-        nr_c = win_ref[0, 0, k_slots + c]
+        lo_c = los[c]
+        nr_c = nrs[c]
         off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
 
         def body(r, _, c=c, lo_c=lo_c, off_c=off_c, end_c=end_c):
@@ -359,8 +376,7 @@ def _stream_fwd_kernel(
     tof_ref,  # [NCB]
     meta_ref,  # [4]: ty0, tiles_x, nbx, blkw
     blktab_ref,  # [NBLK·12]
-    rows_ref,  # [1, chunk] i32 block (slot j)
-    win_ref,  # [1, 32] i32 block (slot j)
+    rows_ref,  # [1, 1, chunk+WINW] i32 raw pid window block (slot j)
     att_any,  # [32, NP] bf16, HBM
     out_ref,  # [1, FWD_ROWS, n_px] block (tile)
     band_ref,  # VMEM scratch [32, cap] bf16
@@ -414,10 +430,13 @@ def _stream_fwd_kernel(
 
     @pl.when(live)
     def _():
-        rows2 = jnp.swapaxes(rows_ref[0], 0, 1)  # [chunk, 1] i32
+        win = starts_ref[tc] + k * chunk
+        rows2, los, nrs = _decode_windows(
+            rows_ref, win, count, k, chunk, k_slots, srow
+        )
         origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
         att = _gather_att(
-            win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
+            los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
             cap, origin,
         )
 
@@ -456,8 +475,7 @@ def _stream_bwd_kernel(
     tof_rev_ref,  # [NCB]: tile of slot NCB-1-j
     meta_ref,
     blktab_ref,
-    rows_ref,  # [1, chunk] block of slot NCB-1-j
-    win_ref,  # [1, 32] block of slot NCB-1-j
+    rows_ref,  # [1, 1, chunk+WINW] raw pid window block of slot NCB-1-j
     att_any,  # [32, NP] bf16 HBM
     dzero_any,  # [GRAD_ROWS, NP] f32 HBM (aliased to dgrad_any)
     ct_ref,  # [1, 4, n_px] block (tile)
@@ -577,10 +595,13 @@ def _stream_bwd_kernel(
 
     @pl.when(live)
     def _():
-        rows2 = jnp.swapaxes(rows_ref[0], 0, 1)
+        win = starts_ref[tc] + k * chunk
+        rows2, los, nrs = _decode_windows(
+            rows_ref, win, count, k, chunk, k_slots, srow
+        )
         origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
         att = _gather_att(
-            win_ref, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
+            los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
             cap, origin,
         )
 
@@ -634,7 +655,7 @@ def _stream_bwd_kernel(
         datt = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop], axis=1)
 
         _scatter_grad(
-            win_ref, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots,
+            los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots,
             dmach, cap,
         )
 
@@ -664,12 +685,12 @@ def _meta(ty0, tiles_x, nbx, blkw):
     )
 
 
-def _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
               tiles_x, band_rows, cfg: RenderConfig):
     ts = cfg.tile_size
     n_px = ts * ts
     n_tiles = tiles_x * band_rows
-    ncb = rows_al.shape[0]
+    ncb = pidwin.shape[0]
     k_slots = cfg.tile_span * cfg.tile_span
     nbx = _ceil(tiles_x, cfg.stream_block_tiles)
     starts_pad = jnp.concatenate([starts, starts[-1:]])
@@ -691,12 +712,9 @@ def _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
         grid=(ncb,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cfg.chunk),
+                (1, 1, cfg.chunk + WINW),
                 lambda j, *_: (j, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 32), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -716,7 +734,7 @@ def _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles + 1, FWD_ROWS, n_px), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(starts_pad, cbase, tile_of, meta, blktab, rows_al[:, None, :], win32[:, None, :], att_tab)
+    )(starts_pad, cbase, tile_of, meta, blktab, pidwin[:, None, :], att_tab)
     out = out[:n_tiles]
     empty = (starts[1:] == starts[:-1])[:, None, None]
     base = jnp.concatenate(
@@ -730,12 +748,12 @@ def _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
     return jnp.where(empty, base, out)
 
 
-def _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
               fwd_out, ct_img, ct_T, tiles_x, band_rows, cfg: RenderConfig):
     ts = cfg.tile_size
     n_px = ts * ts
     n_tiles = tiles_x * band_rows
-    ncb = rows_al.shape[0]
+    ncb = pidwin.shape[0]
     n_pad = att_tab.shape[1]
     k_slots = cfg.tile_span * cfg.tile_span
     nbx = _ceil(tiles_x, cfg.stream_block_tiles)
@@ -773,8 +791,9 @@ def _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
         num_scalar_prefetch=5,
         grid=(ncb,),
         in_specs=[
-            pl.BlockSpec((1, 1, cfg.chunk), slot_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 32), slot_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, cfg.chunk + WINW), slot_idx, memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 4, n_px), tile_idx, memory_space=pltpu.VMEM),
@@ -800,11 +819,11 @@ def _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
             jax.ShapeDtypeStruct((GRAD_ROWS, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles + 1, 8, n_px), jnp.float32),
         ],
-        input_output_aliases={8: 0},  # dzero (after 5 prefetch + 3 inputs)
+        input_output_aliases={7: 0},  # dzero (after 5 prefetch + 2 inputs)
         interpret=jax.default_backend() != "tpu",
     )(
         starts_pad, cbase, tof_rev, meta, blktab,
-        rows_al[:, None, :], win32[:, None, :], att_tab, dzero, ct, fwd_pad,
+        pidwin[:, None, :], att_tab, dzero, ct, fwd_pad,
     )
     return dgrad  # [GRAD_ROWS, NP]
 
@@ -814,15 +833,15 @@ def _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def blend_stream(cols, rows_al, win32, blktab, starts, cbase, tile_of, ty0,
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def blend_stream(cols, pidwin, blktab, starts, cbase, tile_of, ty0,
                  tiles_x, band_rows, cfg):
     """Stream tile blend. cols = 9 home-layout f32 columns
     (mx, my, conic a/b/c, r, g, b, opacity), each [N].
     Returns (img [T, n_px, 3], T_act [T, n_px])."""
     n_pad = _table_pad(cols[0].shape[0], cfg)
     att_tab = att_cols_table(cols, n_pad)
-    out = _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+    out = _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of,
                     ty0, tiles_x, band_rows, cfg)
     return jnp.swapaxes(out[:, 0:3, :], 1, 2), out[:, 3, :]
 
@@ -832,28 +851,28 @@ def _table_pad(n, cfg):
     return _ceil(n, d) * d + d
 
 
-def _blend_stream_fwd(cols, rows_al, win32, blktab, starts, cbase, tile_of,
+def _blend_stream_fwd(cols, pidwin, blktab, starts, cbase, tile_of,
                       ty0, tiles_x, band_rows, cfg):
     n_pad = _table_pad(cols[0].shape[0], cfg)
     att_tab = att_cols_table(cols, n_pad)
-    out = _fwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+    out = _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of,
                     ty0, tiles_x, band_rows, cfg)
-    res = (att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0, out,
+    res = (att_tab, pidwin, blktab, starts, cbase, tile_of, ty0, out,
            cols[0].shape[0])
     return (jnp.swapaxes(out[:, 0:3, :], 1, 2), out[:, 3, :]), res
 
 
 def _blend_stream_bwd(tiles_x, band_rows, cfg, res, cts):
-    (att_tab, rows_al, win32, blktab, starts, cbase, tile_of, ty0, fwd_out,
+    (att_tab, pidwin, blktab, starts, cbase, tile_of, ty0, fwd_out,
      n) = res
     ct_img_t, ct_T = cts
     ct_img = jnp.swapaxes(ct_img_t, 1, 2)
-    dgrad = _bwd_call(att_tab, rows_al, win32, blktab, starts, cbase, tile_of,
+    dgrad = _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of,
                       ty0, fwd_out, ct_img, ct_T, tiles_x, band_rows, cfg)
     dcols = tuple(dgrad[i, :n] for i in range(ATT_COLS))
     f0 = jax.dtypes.float0
     z = lambda x: np.zeros(jnp.shape(x), f0)
-    return (dcols, z(rows_al), z(win32), z(blktab), z(starts), z(cbase),
+    return (dcols, z(pidwin), z(blktab), z(starts), z(cbase),
             z(tile_of), z(ty0))
 
 
@@ -876,7 +895,7 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         raise ValueError("stream backend requires tile_span == 3")
     k_slots = cfg.tile_span * cfg.tile_span
     pid, starts, n_dropped = clipped_pair_stream(bins, cfg)
-    rows_al, win32, tile_of, cbase = slot_streams(pid, starts, cfg, k_slots)
+    pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg)
     blktab, n_ovf = band_blocks(
         layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
         bins.band_rows, cfg,
@@ -898,7 +917,7 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         p.opacity,
     )
     img_t, T_t = blend_stream(
-        cols, rows_al, win32, blktab, starts, cbase, tile_of, bins.ty0,
+        cols, pidwin, blktab, starts, cbase, tile_of, bins.ty0,
         bins.tiles_x, bins.band_rows, cfg,
     )
     img, T_map = assemble_band(img_t, T_t, bins, cfg)

@@ -90,7 +90,7 @@ def main():
         print(f"blend (pallas)      : {t - floor_ms:8.2f} ms")
 
 
-if __name__ == "__main__" and "--slots" not in sys.argv:
+if __name__ == "__main__" and "--slots" not in sys.argv and "--stream" not in sys.argv:
     main()
 
 
@@ -173,4 +173,94 @@ def profile_slots():
 
 if __name__ == "__main__" and "--slots" in sys.argv:
     profile_slots()
+    sys.exit(0)
+
+
+def profile_stream():
+    """Stream-path stage timings (python tools/profile_stages.py --stream)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--n", type=int, default=1_200_000)
+    ap.add_argument("--wh", default="1920x1080")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=128)
+    args = ap.parse_args()
+    W, H = map(int, args.wh.split("x"))
+
+    import jax.numpy as jnp
+
+    from gsjax import RenderConfig
+    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.render.binning import build_tile_bins
+    from gsjax.render.composite import clipped_pair_stream
+    from gsjax.render.homesort import build_home_layout
+    from gsjax.render.pallas_stream import (
+        _bwd_call,
+        _fwd_call,
+        _table_pad,
+        att_cols_table,
+        band_blocks,
+        packed_pid_windows,
+    )
+    from gsjax.render.project import project
+
+    cfg = RenderConfig(backend="stream", chunk=args.chunk)
+    g = bonsai_like(n=args.n)
+    cam = bench_camera(width=W, height=H)
+
+    f_home = jax.jit(lambda g: build_home_layout(g, cam, cfg))
+    t, (g_home, layout) = timeit(f_home, g, reps=args.reps)
+    print(f"home sort+relayout  : {t:8.2f} ms")
+
+    f_proj = jax.jit(lambda g: project(g, cam, cfg))
+    t, p = timeit(f_proj, g_home, reps=args.reps)
+    print(f"project             : {t:8.2f} ms")
+
+    f_bins = jax.jit(lambda p: build_tile_bins(p, cam, cfg, anchor="home"))
+    t, bins = timeit(f_bins, p, reps=args.reps)
+    print(f"binning (pair sort) : {t:8.2f} ms   pairs={int(bins.n_pairs)}")
+
+    k = cfg.tile_span**2
+    f_clip = jax.jit(lambda bins: clipped_pair_stream(bins, cfg))
+    t, (pid, starts, nd) = timeit(f_clip, bins, reps=args.reps)
+    print(f"clip stream         : {t:8.2f} ms   S={pid.shape[0]}")
+
+    f_slots = jax.jit(lambda pid, starts: packed_pid_windows(pid, starts, cfg))
+    t, (pidwin, tile_of, cbase) = timeit(f_slots, pid, starts, reps=args.reps)
+    print(f"pid windows         : {t:8.2f} ms   NCB={pidwin.shape[0]}")
+
+    f_blk = jax.jit(lambda ss: band_blocks(ss, 0, bins.tiles_x, layout.tiles_y, bins.band_rows, cfg))
+    t, (blktab, novf) = timeit(f_blk, layout.seg_starts, reps=args.reps)
+    print(f"band blocks         : {t:8.2f} ms   ovf={int(novf)}")
+
+    ts = float(cfg.tile_size)
+    htx = jnp.clip(jnp.floor(p.mean2d[:, 0] / ts), 0, bins.tiles_x - 1)
+    hty = jnp.clip(jnp.floor(p.mean2d[:, 1] / ts), 0, layout.tiles_y - 1)
+    cols = (p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
+            p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
+            p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2], p.opacity)
+    n_pad = _table_pad(args.n, cfg)
+    f_tab = jax.jit(lambda cols: att_cols_table(cols, n_pad))
+    t, att_tab = timeit(f_tab, cols, reps=args.reps)
+    print(f"att table (bf16 hi/lo): {t:6.2f} ms")
+
+    tiles_x, band_rows = bins.tiles_x, bins.band_rows
+    f_fwd = jax.jit(lambda *a: _fwd_call(*a, tiles_x, band_rows, cfg))
+    t, fwd_out = timeit(f_fwd, att_tab, pidwin, blktab, starts, cbase,
+                        tile_of, bins.ty0, reps=args.reps)
+    print(f"stream fwd kernel   : {t:8.2f} ms")
+
+    n_px = cfg.tile_size * cfg.tile_size
+    ct_img = jnp.ones((tiles_x * band_rows, 3, n_px), jnp.float32)
+    ct_T = jnp.ones((tiles_x * band_rows, n_px), jnp.float32)
+    f_bwd = jax.jit(lambda *a: _bwd_call(*a, tiles_x, band_rows, cfg))
+    t, dgrad = timeit(f_bwd, att_tab, pidwin, blktab, starts, cbase,
+                      tile_of, bins.ty0, fwd_out, ct_img, ct_T, reps=args.reps)
+    print(f"stream bwd kernel   : {t:8.2f} ms")
+
+
+if __name__ == "__main__" and "--stream" in sys.argv:
+    profile_stream()
     sys.exit(0)
