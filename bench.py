@@ -43,9 +43,9 @@ def main():
     from gsjax import RenderConfig, render
     from gsjax.bench.synth import bench_camera, bonsai_like
 
-    backend = args.backend or ("pallas" if jax.default_backend() == "tpu" else "xla")
+    backend = args.backend or ("stream" if jax.default_backend() == "tpu" else "xla")
     try:
-        if backend == "pallas":
+        if backend in ("pallas", "stream"):
             from gsjax.render import pallas_tile  # noqa: F401
     except ImportError:
         backend = "xla"
