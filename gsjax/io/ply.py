@@ -188,6 +188,48 @@ def _parse_ply_numpy(buf: bytes, use_shs: bool, format: str) -> Gaussians:
     return _assemble(d, format)
 
 
+def save_ply(g: Gaussians, path=None) -> bytes:
+    """Serialize to the standard 3DGS .ply layout (the exact inverse of
+    load_ply's property semantics; the reference has no PLY *export* —
+    its only save path is Scene.saveToFile → .splat, Scene.ts:368-403 —
+    this is parity-plus for interop with graphdeco tooling)."""
+    import jax
+
+    means, log_scales, quats, sh, opacity = (
+        np.asarray(jax.device_get(x))
+        for x in (g.means, g.log_scales, g.quats, g.sh, g.opacity_logits)
+    )
+    n, k = sh.shape[0], sh.shape[1]
+    n_rest = 3 * (k - 1)
+    props = (
+        ["x", "y", "z", "nx", "ny", "nz", "f_dc_0", "f_dc_1", "f_dc_2"]
+        + [f"f_rest_{i}" for i in range(n_rest)]
+        + ["opacity", "scale_0", "scale_1", "scale_2"]
+        + [f"rot_{i}" for i in range(4)]
+    )
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        + "".join(f"property float {p}\n" for p in props)
+        + "end_header\n"
+    ).encode("ascii")
+    out = np.zeros((n, len(props)), np.float32)
+    out[:, 0:3] = means
+    out[:, 6:9] = sh[:, 0, :]
+    # channel-major f_rest (≙ the load_ply read order)
+    for c in range(3):
+        out[:, 9 + c * (k - 1) : 9 + (c + 1) * (k - 1)] = sh[:, 1:, c]
+    base = 9 + n_rest
+    out[:, base] = opacity
+    out[:, base + 1 : base + 4] = log_scales
+    out[:, base + 4 : base + 8] = quats
+    blob = header + out.tobytes()
+    if path is not None:
+        with open(os.fspath(path), "wb") as fh:
+            fh.write(blob)
+    return blob
+
+
 def _assemble(d: dict, format: str) -> Gaussians:
     import jax.numpy as jnp
 

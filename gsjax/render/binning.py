@@ -159,24 +159,46 @@ def build_tile_bins(
         & (tys < ty0 + band_rows)
     )
 
-    # conservative ellipse-tile cull: drop pairs whose max possible alpha
-    # anywhere in the tile is < alpha_min. Bound: alpha ≤ op·exp(-½d²/λmax)
-    # with d the euclidean distance from the mean to the tile rect and
-    # λmax = (radius/σ)² the top cov2d eigenvalue — never drops a pair
-    # that contributes, so output is bit-identical; cuts the rect's corner
-    # tiles (~25-40% of pairs) before the sort.
+    # exact ellipse-tile cull: drop pairs whose max possible alpha anywhere
+    # in the tile's pixel rect is < alpha_min. The blend computes
+    # alpha = op·exp(-½ q(p)) with q the conic quadratic form, so the pair
+    # contributes nowhere iff min_{p∈rect} q(p) > 2·ln(op/alpha_min). The
+    # box-constrained minimum of the convex quadratic is closed-form: 0 if
+    # the mean is inside the rect, else the min over the 4 edges (on each
+    # edge the free coordinate's optimum is the clamped 1D minimizer).
+    # Exact w.r.t. the blend's own alpha test (modulo fexp's ~1e-4
+    # approximation error — absorbed by a small threshold slack), so the
+    # composited output is bit-identical while corner/edge tiles of
+    # anisotropic splats drop before the sort.
     ts_f = float(cfg.tile_size)
-    lam1 = jnp.square(p.radius / cfg.radius_sigma)  # [N]
-    cull_r2 = (
-        2.0
-        * lam1
-        * jnp.log(jnp.maximum(p.opacity, cfg.alpha_min) / cfg.alpha_min)
-    )  # [N] squared distance beyond which nothing in the tile survives
+    ca = p.conic[:, 0:1]
+    cb = p.conic[:, 1:2]
+    cc = p.conic[:, 2:3]
+    thr = 2.0 * jnp.log(
+        jnp.maximum(p.opacity[:, None], cfg.alpha_min) / cfg.alpha_min
+    ) + 1e-3  # slack for the kernels' fexp approximation
     tx_lo = txs.astype(jnp.float32) * ts_f
     ty_lo = tys.astype(jnp.float32) * ts_f
-    ndx = p.mean2d[:, 0:1] - jnp.clip(p.mean2d[:, 0:1], tx_lo, tx_lo + (ts_f - 1))
-    ndy = p.mean2d[:, 1:2] - jnp.clip(p.mean2d[:, 1:2], ty_lo, ty_lo + (ts_f - 1))
-    pair_ok &= (ndx * ndx + ndy * ndy) <= cull_r2[:, None]
+    dxl = tx_lo - p.mean2d[:, 0:1]  # left edge offset
+    dxr = dxl + (ts_f - 1.0)  # right edge offset
+    dyl = ty_lo - p.mean2d[:, 1:2]
+    dyr = dyl + (ts_f - 1.0)
+    inside = (dxl <= 0) & (dxr >= 0) & (dyl <= 0) & (dyr >= 0)
+
+    def _edge_x(dx):  # min over the vertical edge at offset dx
+        dy = jnp.clip(-cb * dx / cc, dyl, dyr)
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def _edge_y(dy):
+        dx = jnp.clip(-cb * dy / ca, dxl, dxr)
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    qmin = jnp.minimum(
+        jnp.minimum(_edge_x(dxl), _edge_x(dxr)),
+        jnp.minimum(_edge_y(dyl), _edge_y(dyr)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    pair_ok &= qmin <= thr
     tile = ((tys - ty0) * tiles_x + txs).astype(jnp.uint32)
     keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
     keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)

@@ -42,6 +42,7 @@ graphdeco's backward behavior.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -52,6 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.core.config import RenderConfig
 from gsjax.render.fastmath import fexp
+
+# Profiling-only kernel ablations (tools/ablate_stream.py) — see
+# pallas_stream._ABLATE. Read once at import (= trace) time.
+_ABLATE = frozenset(
+    s for s in os.environ.get("GSJAX_ABLATE", "").split(",") if s
+)
 
 ATT_COLS = 9  # mean2(2) + conic(3) + rgb(3) + opacity(1)
 FWD_ROWS = 8  # img(3), T_act, C, n_done, spare(2)
@@ -76,7 +83,7 @@ def _chunk_quantities(att, px, py, srow, base, count, alpha_clamp, alpha_min):
     dx = px - mx  # [chunk, n_px]
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = fexp(power)
+    G = (0.3 + 0.001 * power) if "exp" in _ABLATE else fexp(power)
     raw = op * G
     alpha = jnp.minimum(alpha_clamp, raw)
     valid = (base + srow) < count  # [chunk, 1]

@@ -33,6 +33,7 @@ counted in aux — never silently.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -51,6 +52,12 @@ from gsjax.render.pallas_flat import (
     _pixel_grid,
     _slot_tables,
 )
+
+# Profiling-only kernel ablations (tools/ablate_stream.py): GSJAX_ABLATE is
+# a comma list of {gather, hs, exp, dots, scatter}. Never set in production —
+# the image is garbage with any ablation on; timing the delta isolates one
+# stage's kernel cost.
+from gsjax.render.pallas_flat import _ABLATE  # noqa: E402
 
 WINW = 128  # window lanes per one-hot round
 TAB_ROWS = 32  # att table sublanes: 0:9 hi, 16:25 lo
@@ -335,6 +342,10 @@ def _scatter_grad(
     )
     dh = dpad.astype(jnp.bfloat16)
     dl = (dpad - dh.astype(jnp.float32)).astype(jnp.bfloat16)
+    # hi and lo stacked column-wise: ONE [chunk, 2·GRAD_ROWS]×[chunk, WINW]
+    # MXU call per window instead of two (the MXU pads the output sublane
+    # dim regardless, so the halves ride along free), summed after
+    dhl = jnp.concatenate([dh, dl], axis=1)  # [chunk, 32] bf16
     for c in range(k_slots):
         lo_c = los[c]
         nr_c = nrs[c]
@@ -346,23 +357,33 @@ def _scatter_grad(
             oh = jnp.where(rows2 == ids, jnp.where(ok, 1.0, 0.0), 0.0).astype(
                 jnp.bfloat16
             )  # [chunk, WINW]
-            upd = jax.lax.dot_general(
-                dh,
+            u2 = jax.lax.dot_general(
+                dhl,
                 oh,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                dl,
-                oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [GRAD_ROWS, WINW]
+            )  # [2·GRAD_ROWS, WINW]
+            upd = u2[0:GRAD_ROWS] + u2[GRAD_ROWS:]
             start = jnp.clip(off_c + r * WINW, 0, cap - WINW)
             sl = pl.ds(pl.multiple_of(start, WINW), WINW)
             dcand_ref[:, sl] = dcand_ref[:, sl] + upd
             return 0
 
         jax.lax.fori_loop(0, nr_c, body, 0)
+
+
+def _fake_att(rows2, origin, chunk):
+    """Ablation stand-in for _gather_att: plausible magnitudes, data-
+    dependent on rows2 so nothing constant-folds (profiling only)."""
+    tox, toy, ts = origin
+    noise = (rows2 % 97).astype(jnp.float32) * 1e-3  # [chunk, 1]
+    cx = jnp.float32(tox) + 0.5 * ts
+    cy = jnp.float32(toy) + 0.5 * ts
+    return jnp.concatenate(
+        [cx + noise, cy + noise, 0.05 + noise, noise * 0.1, 0.05 + noise,
+         0.5 + noise, 0.5 + noise, 0.5 + noise, 0.4 + noise],
+        axis=1,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -435,27 +456,38 @@ def _stream_fwd_kernel(
             rows_ref, win, count, k, chunk, k_slots, srow
         )
         origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
-        att = _gather_att(
-            los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
-            cap, origin,
-        )
+        if "gather" in _ABLATE:
+            att = _fake_att(rows2, origin, chunk)
+        else:
+            att = _gather_att(
+                los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots,
+                dmach, cap, origin,
+            )
 
         alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
             att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
         )
-        incl = _hs_prod_sublanes(f, srow, chunk)
+        if "hs" in _ABLATE:
+            incl = f
+        else:
+            incl = _hs_prod_sublanes(f, srow, chunk)
         excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
         Cc = C * incl
         include = jnp.logical_and(eligible, Cc >= eps_T)
         w = jnp.where(include, C * excl * alpha, 0.0)
 
-        img = out_ref[0, 0:3, :] + jax.lax.dot_general(
-            att[:, 5:8],
-            w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if "dots" in _ABLATE:
+            img = out_ref[0, 0:3, :] + jnp.sum(
+                w, axis=0, keepdims=True
+            ) * jnp.ones((3, 1), jnp.float32)
+        else:
+            img = out_ref[0, 0:3, :] + jax.lax.dot_general(
+                att[:, 5:8],
+                w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         t_min = jnp.min(jnp.where(include, Cc, 2.0), axis=0, keepdims=True)
         T_act = out_ref[0, 3:4, :]
         T_act = jnp.where(t_min > 1.5, T_act, t_min)
@@ -600,10 +632,13 @@ def _stream_bwd_kernel(
             rows_ref, win, count, k, chunk, k_slots, srow
         )
         origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
-        att = _gather_att(
-            los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach,
-            cap, origin,
-        )
+        if "gather" in _ABLATE:
+            att = _fake_att(rows2, origin, chunk)
+        else:
+            att = _gather_att(
+                los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots,
+                dmach, cap, origin,
+            )
 
         ct_img = ct_ref[0, 0:3, :]
         ct_T = ct_ref[0, 3:4, :]
@@ -614,23 +649,33 @@ def _stream_bwd_kernel(
         alpha, eligible, f, G, dx, dy, unclamped = _chunk_quantities(
             att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
         )
-        incl = _hs_prod_sublanes(f, srow, chunk)
-        excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
+        if "hs" in _ABLATE:
+            incl = f
+            excl = f
+        else:
+            incl = _hs_prod_sublanes(f, srow, chunk)
+            excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
         C_entry = C_exit / jnp.maximum(incl[-1:, :], 1e-30)
         Cc = C_entry * incl
         include = jnp.logical_and(eligible, Cc >= eps_T)
         T_i = C_entry * excl
         w = jnp.where(include, T_i * alpha, 0.0)
 
-        v = jax.lax.dot_general(
-            att[:, 5:8],
-            ct_img,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if "dots" in _ABLATE:
+            v = att[:, 5:6] * ct_img[0:1, :]
+        else:
+            v = jax.lax.dot_general(
+                att[:, 5:8],
+                ct_img,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         vw = v * w
-        sfx = _hs_suffix_sum_sublanes(vw, srow, chunk)
+        if "hs" in _ABLATE:
+            sfx = vw
+        else:
+            sfx = _hs_suffix_sum_sublanes(vw, srow, chunk)
         U = S_carry + (sfx - vw)
 
         inv_f = 1.0 / f
@@ -645,19 +690,25 @@ def _stream_bwd_kernel(
         dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
         dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
         dop = jnp.sum(jnp.where(unclamped, dalpha * G, 0.0), axis=1, keepdims=True)
-        drgb = jax.lax.dot_general(
-            w,
-            ct_img,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if "dots" in _ABLATE:
+            drgb = jnp.sum(w, axis=1, keepdims=True) * jnp.ones(
+                (1, 3), jnp.float32
+            )
+        else:
+            drgb = jax.lax.dot_general(
+                w,
+                ct_img,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         datt = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop], axis=1)
 
-        _scatter_grad(
-            los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots,
-            dmach, cap,
-        )
+        if "scatter" not in _ABLATE:
+            _scatter_grad(
+                los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk,
+                k_slots, dmach, cap,
+            )
 
         state_ref[0] = jnp.concatenate(
             [C_entry, S_carry + sfx[0:1, :], jnp.zeros((6, n_px), jnp.float32)],
