@@ -31,9 +31,14 @@ def main():
         sh=g_true.sh * 0.5,
     )
     loss0 = float(jnp.mean((render(g0, cams[0], cfg) - targets[0]) ** 2))
+    # note: this is a tiny deterministic full-batch problem — Adam's
+    # usual 3DGS learning rates (default_optimizer) overshoot here; a
+    # small uniform rate descends cleanly
+    import optax
+
     state, losses = fit(
-        g0, cams, targets, cfg, steps=60,
-        optimizer=default_optimizer(), log_every=20,
+        g0, cams, targets, cfg, steps=150,
+        optimizer=optax.adam(2e-4), log_every=50,
     )
     g_fit = state.gaussians
     print(f"loss {loss0:.3e} → {losses[-1]:.3e} after {len(losses)} steps")

@@ -87,7 +87,13 @@ def att_cols_table(cols, n_pad):
     return jnp.pad(tab, ((0, 0), (0, n_pad - n)))
 
 
-PACKW = 32  # pid-stream packing width (row gathers are priced per row)
+PACKW = 64  # pid-stream packing width (row gathers are priced per row)
+
+
+def _win_lanes(chunk):
+    """pid-window width: chunk + a WINW halo, padded to a PACKW multiple
+    so the packed-row gather covers it exactly."""
+    return _ceil(chunk + WINW, PACKW) * PACKW
 
 
 def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
@@ -96,10 +102,10 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     Every formulation of the chunk-aligned window slice (vmap
     dynamic_slice, flat index gather, lax.gather with slice sizes)
     lowers to an elementwise gather (~9-14 ns per ELEMENT measured),
-    so instead the pid stream is viewed as [S/32, 32] rows and each slot
-    gathers ceil((chunk+128)/32) rows starting at floor32 of its window —
-    ~30× fewer gather rows. The kernel rotates the raw window into place
-    (win % 32 lanes), decodes (row, class), and derives its own one-hot
+    so instead the pid stream is viewed as [S/PACKW, PACKW] rows and each slot
+    gathers ceil((chunk+128)/PACKW) rows starting at a PACKW-floor of its
+    window — far fewer gather rows. The kernel rotates the raw window into
+    place (win % PACKW lanes), decodes (row, class), and derives its own one-hot
     class windows; no other per-slot table is materialized.
 
     Returns (pidwin [NCB, chunk+128] i32 raw, tile_of [NCB], cbase)."""
@@ -109,7 +115,7 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     ncb = S // chunk + n_tiles + 1
     tile_of, win, cbase, _valid = _slot_tables(starts, chunk, ncb)
 
-    lanes = chunk + WINW
+    lanes = _win_lanes(chunk)
     nrow = lanes // PACKW
     n_pack = _ceil(S, PACKW) + nrow
     pid_rows = jnp.pad(pid_sorted, (0, n_pack * PACKW - S)).reshape(-1, PACKW)
@@ -259,7 +265,7 @@ def _decode_windows(rows_ref, win, count, k, chunk, k_slots, srow):
 
     Returns (enc2 [chunk, 1] i32 encoded ids (-1 invalid), los, nrs —
     python lists of 9 scalars)."""
-    lanes = chunk + WINW
+    lanes = _win_lanes(chunk)
     sh = win % PACKW
     raw = pltpu.roll(rows_ref[0, 0:1, :], lanes - sh, 1)  # [1, lanes]
     rows = jnp.swapaxes(raw[:, :chunk], 0, 1)  # [chunk, 1]
@@ -763,7 +769,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         grid=(ncb,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cfg.chunk + WINW),
+                (1, 1, _win_lanes(cfg.chunk)),
                 lambda j, *_: (j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -843,7 +849,7 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         grid=(ncb,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cfg.chunk + WINW), slot_idx, memory_space=pltpu.VMEM
+                (1, 1, _win_lanes(cfg.chunk)), slot_idx, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
