@@ -28,6 +28,24 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (TILES_AXIS,))
 
 
+def init_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize the JAX multi-process runtime for a multi-host pod
+    (SURVEY §5.8): after this, `jax.devices()` spans every host and
+    `make_mesh()` builds one global `tiles` mesh — the same pjit program
+    then runs with collectives riding ICI within a host and DCN across.
+    No-op arguments fall back to the TPU pod's automatic discovery."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def band_rows_for(cfg, height: int, n_devices: int) -> int:
     """Tile rows per device; the image height must pad to
     n_devices · band_rows · tile_size."""

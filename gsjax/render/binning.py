@@ -205,7 +205,11 @@ def build_tile_bins(
 
     pids = jnp.arange(n * k_slots, dtype=jnp.int32)
 
-    k_sorted, pid_sorted = jax.lax.sort((keys, pids), num_keys=1, is_stable=True)
+    # 2-key UNSTABLE sort ≡ stable-by-key (pids are distinct, and stable
+    # sort's tie order is exactly ascending pid); measures ~5% faster
+    k_sorted, pid_sorted = jax.lax.sort(
+        (keys, pids), num_keys=2, is_stable=False
+    )
 
     tile_of = (k_sorted >> jnp.uint32(DEPTH_BITS)).astype(jnp.int32)
     tile_starts = jnp.searchsorted(

@@ -133,13 +133,15 @@ def build_home_layout(g: Gaussians, cam: Camera, cfg: RenderConfig):
     tiles_x = cfg.tiles_x(cam.width)
     tiles_y = cfg.tiles_y(cam.height)
     key, on = _home_keys(g, cam, cfg)
+    # 2-key UNSTABLE sorts ≡ the stable single-key sorts (the second
+    # operand is distinct and stability's tie order IS ascending index)
     key_sorted, perm = jax.lax.sort(
-        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
     # inverse permutation via a second sort (3.45 ns/elem beats the
     # 5.3 ns/elem scatter-set — microbench_mem.py)
     _, inv = jax.lax.sort(
-        (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+        (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
     home_sorted = (key_sorted >> jnp.uint32(DEPTH_BITS)).astype(jnp.int32)
     seg_starts = jnp.searchsorted(

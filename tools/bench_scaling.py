@@ -1,0 +1,107 @@
+"""Tile-sharded scaling sweep (BASELINE configs 4-5 shape).
+
+Measures the sharded train step (render → loss → grad → psum → update)
+at 1, 2, 4, 8 devices: per-step wall clock, scaling efficiency vs the
+1-device run, and the per-device WORK split (max pairs binned/composited
+on any one device — the quantity that actually scales 1/D).
+
+NOTE on this environment: only virtual CPU devices are available (one
+real TPU chip, no multi-chip slice), and virtual devices share the same
+host cores — total CPU work is constant, so WALL-CLOCK cannot improve
+with D here; the work-split column is the meaningful scaling signal.
+On a real pod slice the same code runs over ICI/DCN unchanged
+(--platform tpu), where wall clock tracks the work split.
+
+  python tools/bench_scaling.py [--n 200000] [--wh 960x512] [--steps 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--wh", default="960x512")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+    W, H = map(int, args.wh.split("x"))
+
+    if args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={max(args.devices)}"
+            ).strip()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from gsjax import RenderConfig
+    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.parallel.mesh import TILES_AXIS, band_rows_for, make_mesh
+    from gsjax.parallel.render_sharded import make_train_step, pad_target
+    from gsjax.render.binning import build_tile_bins
+    from gsjax.render.project import project
+
+    cfg = RenderConfig(backend="xla", tile_list_cap=512, chunk=64)
+    cam = bench_camera(width=W, height=H)
+    g = bonsai_like(n=args.n, sh_degree=0)
+    opt = optax.adam(1e-3)
+
+    base_ms = None
+    for d in args.devices:
+        if d > len(jax.devices()):
+            print(f"D={d}: skipped ({len(jax.devices())} devices available)")
+            continue
+        mesh = make_mesh(d)
+        step = make_train_step(cam, cfg, mesh, opt)
+        target = pad_target(cfg, cam, jnp.zeros((H, W, 3), jnp.float32), d)
+        g1, st, loss = step(g, opt.init(g), target)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            g1, st, loss = step(g1, st, target)
+        jax.device_get(loss)
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        if base_ms is None:
+            base_ms = ms
+
+        # per-device work split: pairs binned+composited on each device
+        band = band_rows_for(cfg, cam.height, d)
+
+        def local_pairs(g):
+            dd = jax.lax.axis_index(TILES_AXIS)
+            p = project(g, cam, cfg)
+            bins = build_tile_bins(p, cam, cfg, ty0=dd * band, band_rows=band)
+            return bins.n_pairs[None]
+
+        pairs = shard_map(
+            local_pairs, mesh=mesh, in_specs=(P(),),
+            out_specs=P(TILES_AXIS), check_vma=False,
+        )(g)
+        pairs = jax.device_get(pairs)
+        total, mx = int(pairs.sum()), int(pairs.max())
+        work_eff = total / (mx * d) * 100.0
+        print(
+            f"D={d}: {ms:8.1f} ms/step   wall-eff {base_ms / (ms * d) * 100:5.1f}%   "
+            f"max-device pairs {mx} / {total} total → work-split eff {work_eff:5.1f}%"
+        )
+
+
+if __name__ == "__main__":
+    main()
