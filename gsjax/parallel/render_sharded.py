@@ -35,6 +35,29 @@ from gsjax.render.composite import composite_tiles
 from gsjax.render.project import project
 
 
+def _render_band(g, cam, cfg, ty0, band):
+    """Render one tile-row band [ty0, ty0+band): the per-device body of
+    the sharded render/train step. Dispatches on cfg.backend exactly like
+    the single-chip pipeline (the stream Pallas path bins and composites
+    only its own band — the sort, windows, and blend all scale 1/D)."""
+    backend = cfg.backend
+    if backend in ("auto", "pallas"):
+        backend = "stream" if jax.default_backend() == "tpu" else "xla"
+    if backend == "stream":
+        from gsjax.render.homesort import build_home_layout
+        from gsjax.render.pallas_stream import composite_tiles_stream
+
+        g_home, layout = build_home_layout(g, cam, cfg)
+        p = project(g_home, cam, cfg)
+        bins = build_tile_bins(
+            p, cam, cfg, ty0=ty0, band_rows=band, anchor="home"
+        )
+        return composite_tiles_stream(p, layout, bins, cam, cfg)
+    p = project(g, cam, cfg)
+    bins = build_tile_bins(p, cam, cfg, ty0=ty0, band_rows=band)
+    return composite_tiles(p, bins, cam, cfg)
+
+
 def render_sharded(g: Gaussians, cam: Camera, cfg: RenderConfig, mesh):
     """Render with tile rows sharded over `mesh`. Returns the image with
     rows sharded on the `tiles` axis, shape [padded_H, tiles_x·ts, 3]
@@ -44,9 +67,7 @@ def render_sharded(g: Gaussians, cam: Camera, cfg: RenderConfig, mesh):
 
     def local_render(g):
         d = jax.lax.axis_index(TILES_AXIS)
-        p = project(g, cam, cfg)
-        bins = build_tile_bins(p, cam, cfg, ty0=d * band, band_rows=band)
-        img, _ = composite_tiles(p, bins, cam, cfg)
+        img, _ = _render_band(g, cam, cfg, d * band, band)
         return img
 
     return shard_map(
@@ -73,9 +94,7 @@ def make_train_step(cam: Camera, cfg: RenderConfig, mesh, optimizer):
         d = jax.lax.axis_index(TILES_AXIS)
 
         def loss_fn(g):
-            p = project(g, cam, cfg)
-            bins = build_tile_bins(p, cam, cfg, ty0=d * band, band_rows=band)
-            img, _ = composite_tiles(p, bins, cam, cfg)
+            img, _ = _render_band(g, cam, cfg, d * band, band)
             return jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
 
         loss, grads = jax.value_and_grad(loss_fn)(g)

@@ -77,3 +77,20 @@ def test_sharded_train_step_decreases_loss_and_matches_grads(rng, mesh8):
     assert float(loss0_ref) == pytest.approx(float(loss0), rel=1e-5)
     for a, b in zip(jax.tree.leaves(g1_first), jax.tree.leaves(g1_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_stream_backend_matches_single_device(rng, mesh8):
+    """The stream Pallas path (interpret mode on CPU) under shard_map:
+    each device home-sorts, bins, and blends only its own tile band."""
+    cfg = RenderConfig(
+        backend="stream",
+        chunk=32,
+        stream_band_cap=4096,
+        stream_block_tiles=3,
+        stream_dma_chunk=256,
+    )
+    g = make_random_scene(rng, n=200, spread=1.2, z_range=(3.0, 8.0))
+    cam = _cam()
+    img1 = np.asarray(render(g, cam, cfg))
+    imgs = np.asarray(render_sharded(g, cam, cfg, mesh8))
+    np.testing.assert_allclose(imgs[: cam.height, : cam.width], img1, atol=2e-5)
