@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument(
+        "--pair-cap",
+        type=int,
+        default=8_000_000,
+        help="static pair budget (0 = uncapped). The kernel grid scales "
+        "with it; overflow is counted in aux and must be 0 for an honest "
+        "run (the bench scene peaks at ~6.3M pairs)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -57,7 +65,12 @@ def main():
     else:
         n = args.n or 1_200_000
         width, height = args.width, args.height
-        cfg = RenderConfig(backend=backend, tile_list_cap=1024, chunk=128)
+        cfg = RenderConfig(
+            backend=backend,
+            tile_list_cap=1024,
+            chunk=128,
+            pair_cap=args.pair_cap or None,
+        )
 
     g = bonsai_like(n=n, sh_degree=0)
     cam = bench_camera(width=width, height=height)
@@ -84,6 +97,15 @@ def main():
             updates, opt_state2 = opt.update(grads, opt_state, g)
             g2 = optax.apply_updates(g, updates)
             return g2, opt_state2, loss
+
+    # honesty check: the static pair budget must not truncate this scene
+    _, aux = render(g, cam, cfg, return_aux=True)
+    novf = sum(
+        int(aux[k])
+        for k in ("n_pair_overflow", "n_band_overflow", "n_tile_overflow")
+        if k in aux
+    )
+    print(f"# overflow: {novf} (must be 0)", file=sys.stderr)
 
     # compile + warmup
     t0 = time.perf_counter()

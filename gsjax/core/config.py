@@ -50,6 +50,11 @@ class RenderConfig:
     stream_block_tiles: int = 8
     # lanes per band DMA chunk (multiple of 128)
     stream_dma_chunk: int = 4096
+    # slot-group size: each stream-kernel grid step processes this many
+    # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
+    # grid overhead (~82% of slots are skipped by early termination at
+    # the 1080p bench — see render/DESIGN.md)
+    stream_unroll: int = 4
 
     def tiles_x(self, width: int) -> int:
         return -(-width // self.tile_size)

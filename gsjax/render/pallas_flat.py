@@ -302,10 +302,16 @@ def _bwd_kernel(
 # --------------------------------------------------------------------------
 
 
-def _slot_tables(starts, chunk, ncb):
-    """Per-slot tile ids and pair-window starts."""
+def _slot_tables(starts, chunk, ncb, unroll: int = 1):
+    """Per-slot tile ids and pair-window starts. With `unroll` > 1 each
+    tile's slot count pads to an unroll multiple, so unroll-sized slot
+    groups never span a tile (the stream kernels process one group per
+    grid step to amortize the per-step overhead); padded slots lie beyond
+    the tile's pair count and every consumer masks on that."""
     counts = starts[1:] - starts[:-1]
     nch = -(-counts // chunk)
+    if unroll > 1:
+        nch = -(-nch // unroll) * unroll
     cbase = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch).astype(jnp.int32)]
     )

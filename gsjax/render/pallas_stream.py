@@ -110,10 +110,14 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
 
     Returns (pidwin [NCB, chunk+128] i32 raw, tile_of [NCB], cbase)."""
     chunk = cfg.chunk
+    u = cfg.stream_unroll
     S = pid_sorted.shape[0]
     n_tiles = starts.shape[0] - 1
-    ncb = S // chunk + n_tiles + 1
-    tile_of, win, cbase, _valid = _slot_tables(starts, chunk, ncb)
+    # per-tile slot counts pad to an unroll multiple (worst case u-1 pad
+    # slots per tile), and NCB itself to an unroll multiple
+    ncb = S // chunk + (n_tiles + 1) * u
+    ncb = _ceil(ncb, u) * u
+    tile_of, win, cbase, _valid = _slot_tables(starts, chunk, ncb, u)
 
     lanes = _win_lanes(chunk)
     nrow = lanes // PACKW
@@ -259,15 +263,16 @@ def _win_to_scratch(blktab_ref, blk, lo_c):
     return off, b2 + l2
 
 
-def _decode_windows(rows_ref, win, count, k, chunk, k_slots, srow):
-    """Rotate the raw PACKW-aligned pid window into place, decode
-    (row, class), and derive per-class one-hot windows in-kernel.
+def _decode_windows(raw_row, win, count, k, chunk, k_slots, srow):
+    """Rotate the raw PACKW-aligned pid window (a [1, lanes] value) into
+    place, decode (row, class), and derive per-class one-hot windows
+    in-kernel.
 
     Returns (enc2 [chunk, 1] i32 encoded ids (-1 invalid), los, nrs —
     python lists of 9 scalars)."""
     lanes = _win_lanes(chunk)
     sh = win % PACKW
-    raw = pltpu.roll(rows_ref[0, 0:1, :], lanes - sh, 1)  # [1, lanes]
+    raw = pltpu.roll(raw_row, lanes - sh, 1)  # [1, lanes]
     rows = jnp.swapaxes(raw[:, :chunk], 0, 1)  # [chunk, 1]
     valid = (k * chunk + srow) < count
     sid = rows // k_slots
@@ -403,7 +408,7 @@ def _stream_fwd_kernel(
     tof_ref,  # [NCB]
     meta_ref,  # [4]: ty0, tiles_x, nbx, blkw
     blktab_ref,  # [NBLK·12]
-    rows_ref,  # [1, 1, chunk+WINW] i32 raw pid window block (slot j)
+    rows_ref,  # [1, U, chunk+WINW] i32 raw pid window block (group js)
     att_any,  # [32, NP] bf16, HBM
     out_ref,  # [1, FWD_ROWS, n_px] block (tile)
     band_ref,  # VMEM scratch [32, cap] bf16
@@ -419,23 +424,30 @@ def _stream_fwd_kernel(
     alpha_clamp: float,
     alpha_min: float,
     eps_T: float,
+    unroll: int,
 ):
     n_px = ts * ts
-    j = pl.program_id(0)
-    t = tof_ref[j]
+    js = pl.program_id(0)
+    # the slot group [js·U, (js+1)·U) never spans tiles (_slot_tables pads
+    # per-tile slot counts to unroll multiples), so tile-level state is
+    # computed once per grid step and the per-step overhead amortizes
+    t = tof_ref[js * unroll]
     dead = t == n_tiles
     tc = jnp.minimum(t, n_tiles - 1)
-    k = j - cbase_ref[tc]
     count = starts_ref[tc + 1] - starts_ref[tc]
     tiles_x = meta_ref[1]
     px, py = _pixel_grid(tc, meta_ref[0], tiles_x, ts, n_px)
     srow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
+    blk = _blk_of(tc, tiles_x, meta_ref[2], meta_ref[3])
 
-    @pl.when(j == 0)
+    @pl.when(js == 0)
     def _():
         cur_ref[0] = -1
 
-    @pl.when(k == 0)
+    k0 = js * unroll - cbase_ref[tc]
+
+    @pl.when(k0 == 0)
     def _():
         out_ref[0] = jnp.concatenate(
             [
@@ -445,48 +457,50 @@ def _stream_fwd_kernel(
             ],
             axis=0,
         )
+        cur_ref[1] = 1  # tile alive (max virtual transmittance ≥ eps)
 
-    C = out_ref[0, 4:5, :]
-    live = jnp.logical_and(jnp.logical_not(dead), jnp.max(C) >= eps_T)
-    blk = _blk_of(tc, tiles_x, meta_ref[2], meta_ref[3])
-
-    @pl.when(jnp.logical_and(live, blk != cur_ref[0]))
-    def _():
-        _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
-        cur_ref[0] = blk
-
-    @pl.when(live)
-    def _():
-        win = starts_ref[tc] + k * chunk
-        rows2, los, nrs = _decode_windows(
-            rows_ref, win, count, k, chunk, k_slots, srow
+    for u in range(unroll):
+        k = k0 + u
+        # liveness is an SMEM scalar maintained by the live body (a
+        # per-sub-slot max-reduce over C would dominate skipped slots)
+        live = jnp.logical_and(
+            jnp.logical_not(dead),
+            jnp.logical_and(cur_ref[1] == 1, k * chunk < count),
         )
-        origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
-        if "gather" in _ABLATE:
-            att = _fake_att(rows2, origin, chunk)
-        else:
-            att = _gather_att(
-                los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots,
-                dmach, cap, origin,
+
+        @pl.when(jnp.logical_and(live, blk != cur_ref[0]))
+        def _():
+            _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
+            cur_ref[0] = blk
+
+        @pl.when(live)
+        def _(k=k, u=u):
+            C = out_ref[0, 4:5, :]
+            win = starts_ref[tc] + k * chunk
+            rows2, los, nrs = _decode_windows(
+                rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
+                srow
             )
+            if "gather" in _ABLATE:
+                att = _fake_att(rows2, origin, chunk)
+            else:
+                att = _gather_att(
+                    los, nrs, blktab_ref, blk, band_ref, rows2, chunk,
+                    k_slots, dmach, cap, origin,
+                )
 
-        alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
-            att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
-        )
-        if "hs" in _ABLATE:
-            incl = f
-        else:
-            incl = _hs_prod_sublanes(f, srow, chunk)
-        excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
-        Cc = C * incl
-        include = jnp.logical_and(eligible, Cc >= eps_T)
-        w = jnp.where(include, C * excl * alpha, 0.0)
+            alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
+                att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
+            )
+            if "hs" in _ABLATE:
+                incl = f
+            else:
+                incl = _hs_prod_sublanes(f, srow, chunk)
+            excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
+            Cc = C * incl
+            include = jnp.logical_and(eligible, Cc >= eps_T)
+            w = jnp.where(include, C * excl * alpha, 0.0)
 
-        if "dots" in _ABLATE:
-            img = out_ref[0, 0:3, :] + jnp.sum(
-                w, axis=0, keepdims=True
-            ) * jnp.ones((3, 1), jnp.float32)
-        else:
             img = out_ref[0, 0:3, :] + jax.lax.dot_general(
                 att[:, 5:8],
                 w,
@@ -494,12 +508,15 @@ def _stream_fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        t_min = jnp.min(jnp.where(include, Cc, 2.0), axis=0, keepdims=True)
-        T_act = out_ref[0, 3:4, :]
-        T_act = jnp.where(t_min > 1.5, T_act, t_min)
-        n_done = jnp.full((1, n_px), k + 1, jnp.float32)
-        pad = jnp.zeros((FWD_ROWS - 6, n_px), jnp.float32)
-        out_ref[0] = jnp.concatenate([img, T_act, Cc[-1:, :], n_done, pad], axis=0)
+            t_min = jnp.min(jnp.where(include, Cc, 2.0), axis=0, keepdims=True)
+            T_act = out_ref[0, 3:4, :]
+            T_act = jnp.where(t_min > 1.5, T_act, t_min)
+            n_done = jnp.full((1, n_px), k + 1, jnp.float32)
+            pad = jnp.zeros((FWD_ROWS - 6, n_px), jnp.float32)
+            out_ref[0] = jnp.concatenate(
+                [img, T_act, Cc[-1:, :], n_done, pad], axis=0
+            )
+            cur_ref[1] = (jnp.max(Cc[-1:, :]) >= eps_T).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -510,10 +527,10 @@ def _stream_fwd_kernel(
 def _stream_bwd_kernel(
     starts_ref,
     cbase_ref,
-    tof_rev_ref,  # [NCB]: tile of slot NCB-1-j
+    tof_ref,  # [NCB] (forward order; groups process in reverse)
     meta_ref,
     blktab_ref,
-    rows_ref,  # [1, 1, chunk+WINW] raw pid window block of slot NCB-1-j
+    rows_ref,  # [1, U, chunk+WINW] raw pid window block of group ngrp-1-js
     att_any,  # [32, NP] bf16 HBM
     dzero_any,  # [GRAD_ROWS, NP] f32 HBM (aliased to dgrad_any)
     ct_ref,  # [1, 4, n_px] block (tile)
@@ -537,22 +554,24 @@ def _stream_bwd_kernel(
     alpha_clamp: float,
     alpha_min: float,
     eps_T: float,
+    unroll: int,
 ):
     del dzero_any  # aliased storage; all access goes through dgrad_any
     n_px = ts * ts
-    j = pl.program_id(0)
-    t = tof_rev_ref[j]
+    js = pl.program_id(0)
+    g = pl.num_programs(0) - 1 - js  # slot group, descending
+    t = tof_ref[g * unroll]
     dead = t == n_tiles
     tc = jnp.minimum(t, n_tiles - 1)
-    slot = pl.num_programs(0) - 1 - j
-    k = slot - cbase_ref[tc]
+    k0 = g * unroll - cbase_ref[tc]
     nslots_t = cbase_ref[tc + 1] - cbase_ref[tc]
     count = starts_ref[tc + 1] - starts_ref[tc]
     tiles_x = meta_ref[1]
     px, py = _pixel_grid(tc, meta_ref[0], tiles_x, ts, n_px)
     srow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
 
-    @pl.when(j == 0)
+    @pl.when(js == 0)
     def _():
         cur_ref[0] = -1
 
@@ -622,54 +641,55 @@ def _stream_bwd_kernel(
         _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
         cur_ref[0] = blk
 
-    @pl.when(jnp.logical_and(k == nslots_t - 1, jnp.logical_not(dead)))
+    @pl.when(jnp.logical_and(k0 == nslots_t - unroll, jnp.logical_not(dead)))
     def _():
         state_ref[0] = jnp.concatenate(
             [fwd_ref[0, 4:5, :], jnp.zeros((7, n_px), jnp.float32)], axis=0
         )
 
     n_done = fwd_ref[0, 5, 0].astype(jnp.int32)
-    live = jnp.logical_and(jnp.logical_not(dead), k < n_done)
 
-    @pl.when(live)
-    def _():
-        win = starts_ref[tc] + k * chunk
-        rows2, los, nrs = _decode_windows(
-            rows_ref, win, count, k, chunk, k_slots, srow
-        )
-        origin = ((tc % tiles_x) * ts, (tc // tiles_x + meta_ref[0]) * ts, ts)
-        if "gather" in _ABLATE:
-            att = _fake_att(rows2, origin, chunk)
-        else:
-            att = _gather_att(
-                los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots,
-                dmach, cap, origin,
+    for uu in range(unroll):
+        u = unroll - 1 - uu  # sub-slots replay back-to-front
+        k = k0 + u
+        live = jnp.logical_and(jnp.logical_not(dead), k < n_done)
+
+        @pl.when(live)
+        def _(k=k, u=u):
+            win = starts_ref[tc] + k * chunk
+            rows2, los, nrs = _decode_windows(
+                rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
+                srow
             )
+            if "gather" in _ABLATE:
+                att = _fake_att(rows2, origin, chunk)
+            else:
+                att = _gather_att(
+                    los, nrs, blktab_ref, blk, band_ref, rows2, chunk,
+                    k_slots, dmach, cap, origin,
+                )
 
-        ct_img = ct_ref[0, 0:3, :]
-        ct_T = ct_ref[0, 3:4, :]
-        T_act = fwd_ref[0, 3:4, :]
-        C_exit = state_ref[0, 0:1, :]
-        S_carry = state_ref[0, 1:2, :]
+            ct_img = ct_ref[0, 0:3, :]
+            ct_T = ct_ref[0, 3:4, :]
+            T_act = fwd_ref[0, 3:4, :]
+            C_exit = state_ref[0, 0:1, :]
+            S_carry = state_ref[0, 1:2, :]
 
-        alpha, eligible, f, G, dx, dy, unclamped = _chunk_quantities(
-            att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
-        )
-        if "hs" in _ABLATE:
-            incl = f
-            excl = f
-        else:
-            incl = _hs_prod_sublanes(f, srow, chunk)
-            excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
-        C_entry = C_exit / jnp.maximum(incl[-1:, :], 1e-30)
-        Cc = C_entry * incl
-        include = jnp.logical_and(eligible, Cc >= eps_T)
-        T_i = C_entry * excl
-        w = jnp.where(include, T_i * alpha, 0.0)
+            alpha, eligible, f, G, dx, dy, unclamped = _chunk_quantities(
+                att, px, py, srow, k * chunk, count, alpha_clamp, alpha_min
+            )
+            if "hs" in _ABLATE:
+                incl = f
+                excl = f
+            else:
+                incl = _hs_prod_sublanes(f, srow, chunk)
+                excl = jnp.where(srow >= 1, pltpu.roll(incl, 1, 0), 1.0)
+            C_entry = C_exit / jnp.maximum(incl[-1:, :], 1e-30)
+            Cc = C_entry * incl
+            include = jnp.logical_and(eligible, Cc >= eps_T)
+            T_i = C_entry * excl
+            w = jnp.where(include, T_i * alpha, 0.0)
 
-        if "dots" in _ABLATE:
-            v = att[:, 5:6] * ct_img[0:1, :]
-        else:
             v = jax.lax.dot_general(
                 att[:, 5:8],
                 ct_img,
@@ -677,30 +697,27 @@ def _stream_bwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        vw = v * w
-        if "hs" in _ABLATE:
-            sfx = vw
-        else:
-            sfx = _hs_suffix_sum_sublanes(vw, srow, chunk)
-        U = S_carry + (sfx - vw)
+            vw = v * w
+            if "hs" in _ABLATE:
+                sfx = vw
+            else:
+                sfx = _hs_suffix_sum_sublanes(vw, srow, chunk)
+            U = S_carry + (sfx - vw)
 
-        inv_f = 1.0 / f
-        ctT_Tact = ct_T * T_act
-        dalpha = jnp.where(include, v * T_i - (U + ctT_Tact) * inv_f, 0.0)
+            inv_f = 1.0 / f
+            ctT_Tact = ct_T * T_act
+            dalpha = jnp.where(include, v * T_i - (U + ctT_Tact) * inv_f, 0.0)
 
-        dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
-        ca, cb, cc = att[:, 2:3], att[:, 3:4], att[:, 4:5]
-        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
-        dmy = jnp.sum(dpow * (cb * dx + cc * dy), axis=1, keepdims=True)
-        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
-        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-        dop = jnp.sum(jnp.where(unclamped, dalpha * G, 0.0), axis=1, keepdims=True)
-        if "dots" in _ABLATE:
-            drgb = jnp.sum(w, axis=1, keepdims=True) * jnp.ones(
-                (1, 3), jnp.float32
+            dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+            ca, cb, cc = att[:, 2:3], att[:, 3:4], att[:, 4:5]
+            dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+            dmy = jnp.sum(dpow * (cb * dx + cc * dy), axis=1, keepdims=True)
+            dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+            dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+            dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+            dop = jnp.sum(
+                jnp.where(unclamped, dalpha * G, 0.0), axis=1, keepdims=True
             )
-        else:
             drgb = jax.lax.dot_general(
                 w,
                 ct_img,
@@ -708,20 +725,21 @@ def _stream_bwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        datt = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop], axis=1)
+            datt = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop], axis=1)
 
-        if "scatter" not in _ABLATE:
-            _scatter_grad(
-                los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk,
-                k_slots, dmach, cap,
+            if "scatter" not in _ABLATE:
+                _scatter_grad(
+                    los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk,
+                    k_slots, dmach, cap,
+                )
+
+            state_ref[0] = jnp.concatenate(
+                [C_entry, S_carry + sfx[0:1, :],
+                 jnp.zeros((6, n_px), jnp.float32)],
+                axis=0,
             )
 
-        state_ref[0] = jnp.concatenate(
-            [C_entry, S_carry + sfx[0:1, :], jnp.zeros((6, n_px), jnp.float32)],
-            axis=0,
-        )
-
-    @pl.when(jnp.logical_and(j == pl.num_programs(0) - 1, cur_ref[0] >= 0))
+    @pl.when(jnp.logical_and(js == pl.num_programs(0) - 1, cur_ref[0] >= 0))
     def _():
         flush(cur_ref[0])
 
@@ -752,6 +770,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
     nbx = _ceil(tiles_x, cfg.stream_block_tiles)
     starts_pad = jnp.concatenate([starts, starts[-1:]])
     meta = _meta(ty0, tiles_x, nbx, cfg.stream_block_tiles)
+    u = cfg.stream_unroll
     kernel = partial(
         _stream_fwd_kernel,
         ts=ts,
@@ -763,21 +782,31 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         alpha_clamp=cfg.alpha_clamp,
         alpha_min=cfg.alpha_min,
         eps_T=cfg.transmittance_eps,
+        unroll=u,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(ncb,),
+        grid=(ncb // u,),
         in_specs=[
+            # one grid step = one slot GROUP (u same-tile slots). Dead
+            # groups (invalid-pair tail + sentinel padding) all map to
+            # block 0: Pallas skips the input DMA when the block index
+            # repeats, so a dead RUN costs one fetch instead of one per
+            # step (~40% of slots are the dead tail alone)
             pl.BlockSpec(
-                (1, 1, _win_lanes(cfg.chunk)),
-                lambda j, *_: (j, 0, 0),
+                (1, u, _win_lanes(cfg.chunk)),
+                lambda j, st, cb, tof, m, bt: (
+                    jnp.where(tof[j * u] == n_tiles, 0, j),
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, FWD_ROWS, n_px),
-            lambda j, st, cb, tof, m, bt: (tof[j], 0, 0),
+            lambda j, st, cb, tof, m, bt: (tof[j * u], 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -791,7 +820,8 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles + 1, FWD_ROWS, n_px), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(starts_pad, cbase, tile_of, meta, blktab, pidwin[:, None, :], att_tab)
+    )(starts_pad, cbase, tile_of, meta, blktab,
+      pidwin.reshape(ncb // u, u, -1), att_tab)
     out = out[:n_tiles]
     empty = (starts[1:] == starts[:-1])[:, None, None]
     base = jnp.concatenate(
@@ -816,7 +846,6 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
     nbx = _ceil(tiles_x, cfg.stream_block_tiles)
     starts_pad = jnp.concatenate([starts, starts[-1:]])
     meta = _meta(ty0, tiles_x, nbx, cfg.stream_block_tiles)
-    tof_rev = tile_of[::-1]
     ct = jnp.concatenate([ct_img, ct_T[:, None, :]], axis=1)
     ct = jnp.concatenate([ct, jnp.zeros((1, 4, n_px), jnp.float32)], axis=0)
     fwd_pad = jnp.concatenate(
@@ -824,6 +853,8 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
     )
     dzero = jnp.zeros((GRAD_ROWS, n_pad), jnp.float32)
 
+    u = cfg.stream_unroll
+    ngrp = ncb // u
     kernel = partial(
         _stream_bwd_kernel,
         ts=ts,
@@ -836,20 +867,25 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         alpha_clamp=cfg.alpha_clamp,
         alpha_min=cfg.alpha_min,
         eps_T=cfg.transmittance_eps,
+        unroll=u,
     )
 
-    def slot_idx(j, *_):
-        return (ncb - 1 - j, 0, 0)
+    def slot_idx(j, st, cb, tof, m, bt):
+        # groups process in reverse; dead groups collapse to block 0
+        # (one fetch per dead run)
+        g = ngrp - 1 - j
+        return (jnp.where(tof[g * u] == n_tiles, 0, g), 0, 0)
 
-    def tile_idx(j, st, cb, tofr, m, bt):
-        return (tofr[j], 0, 0)
+    def tile_idx(j, st, cb, tof, m, bt):
+        return (tof[(ngrp - 1 - j) * u], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(ncb,),
+        grid=(ngrp,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, _win_lanes(cfg.chunk)), slot_idx, memory_space=pltpu.VMEM
+                (1, u, _win_lanes(cfg.chunk)), slot_idx,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -879,8 +915,8 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         input_output_aliases={7: 0},  # dzero (after 5 prefetch + 2 inputs)
         interpret=jax.default_backend() != "tpu",
     )(
-        starts_pad, cbase, tof_rev, meta, blktab,
-        pidwin[:, None, :], att_tab, dzero, ct, fwd_pad,
+        starts_pad, cbase, tile_of, meta, blktab,
+        pidwin.reshape(ngrp, u, -1), att_tab, dzero, ct, fwd_pad,
     )
     return dgrad  # [GRAD_ROWS, NP]
 
