@@ -265,11 +265,16 @@ def _win_to_scratch(blktab_ref, blk, lo_c):
 
 def _decode_windows(raw_row, win, count, k, chunk, k_slots, srow):
     """Rotate the raw PACKW-aligned pid window (a [1, lanes] value) into
-    place, decode (row, class), and derive per-class one-hot windows
-    in-kernel.
+    place, decode (row, class), and derive per-BAND-ROW one-hot windows
+    in-kernel: the 3 classes of a band row occupy contiguous home
+    segments (adjacent neighbor tiles), so one window covers all three —
+    a third of the one-hot/MXU rounds of per-class windows. Matching
+    masks on the band row (a window's 128-row slack can dip into the
+    adjacent band row's segments, where a row id alone would collide).
 
-    Returns (enc2 [chunk, 1] i32 encoded ids (-1 invalid), los, nrs —
-    python lists of 9 scalars)."""
+    Returns (sid [chunk, 1] home rows (-1 invalid), crow [chunk, 1] band
+    row of each pair's class (-1 invalid), cls [chunk, 1], los, nrs —
+    python lists of 3 scalars)."""
     lanes = _win_lanes(chunk)
     sh = win % PACKW
     raw = pltpu.roll(raw_row, lanes - sh, 1)  # [1, lanes]
@@ -277,76 +282,83 @@ def _decode_windows(raw_row, win, count, k, chunk, k_slots, srow):
     valid = (k * chunk + srow) < count
     sid = rows // k_slots
     cls = rows - sid * k_slots
-    enc2 = jnp.where(valid, sid * 16 + cls, -1)
+    crow = jnp.where(valid, cls // 3, -1)
+    sid = jnp.where(valid, sid, -1)
     big = jnp.int32(2**30)
     los, nrs = [], []
-    for c in range(k_slots):
-        m = jnp.logical_and(valid, cls == c)
+    for r in range(3):
+        m = crow == r
         rmin = jnp.min(jnp.where(m, sid, big))
         rmax = jnp.max(jnp.where(m, sid, -1))
         lo = (rmin // WINW) * WINW
         los.append(jnp.where(rmax >= 0, lo, 0))
         nrs.append(jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0))
-    return enc2, los, nrs
+    return sid, crow, cls, los, nrs
 
 
 def _gather_att(
-    los, nrs, blktab_ref, blk, band_ref, rows2, chunk, k_slots, dmach, cap,
-    origin,
+    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls, chunk, k_slots,
+    dmach, cap, origin,
 ):
-    """One-hot MXU gather of this chunk's pair attributes.
+    """One-hot MXU gather of this chunk's pair attributes over per-band-
+    row windows: onehot[pair, lane] = (sid == window row) & (crow == r).
 
     The table stores means RELATIVE to each splat's home-tile origin
     (values in [0, tile_size): the bf16 hi/lo split then carries a
     resolution-independent ~1e-4 px error instead of ~width·2^-17); the
-    absolute mean is reconstructed here by adding the per-class home
-    origin, routed through the same one-hot (a matched row's indicator is
-    the one-hot row sum). `origin` = (tile_origin_x, tile_origin_y,
-    tile_size). Returns [chunk, 9] f32 absolute attributes
-    (dead/out-of-window/cap-truncated rows → 0)."""
+    absolute mean is reconstructed by adding each pair's class origin —
+    a pure per-pair function of `cls`, no routing through the one-hot.
+    `origin` = (tile_origin_x, tile_origin_y, tile_size). Returns
+    [chunk, 9] f32 attributes (dead/out-of-window/cap-truncated rows get
+    zero opacity and are never eligible)."""
     tox, toy, ts = origin
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     acc = jnp.zeros((chunk, TAB_ROWS), jnp.float32)
-    addx = jnp.zeros((chunk, 1), jnp.float32)
-    addy = jnp.zeros((chunk, 1), jnp.float32)
-    for c in range(k_slots):
-        lo_c = los[c]
-        nr_c = nrs[c]
-        off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
-        ox = (tox + (1 - c % 3) * ts).astype(jnp.float32)
-        oy = (toy + (1 - c // 3) * ts).astype(jnp.float32)
+    for r in range(3):
+        lo_r = los[r]
+        nr_r = nrs[r]
+        off_r, end_r = _win_to_scratch(blktab_ref, blk, lo_r)
+        mrow = crow == r  # [chunk, 1]
 
-        def body(r, carry, c=c, lo_c=lo_c, off_c=off_c, end_c=end_c, ox=ox, oy=oy):
-            acc, addx, addy = carry
-            ids = (lo_c + r * WINW + lane) * 16 + c  # (row, class) encoded
-            ok = off_c + r * WINW + WINW <= end_c  # cap truncation guard
-            oh = jnp.where(rows2 == ids, jnp.where(ok, 1.0, 0.0), 0.0).astype(
-                jnp.bfloat16
-            )  # [chunk, WINW]
-            start = jnp.clip(off_c + r * WINW, 0, cap - WINW)
+        def body(w_i, acc, lo_r=lo_r, off_r=off_r, end_r=end_r, mrow=mrow):
+            ids = lo_r + w_i * WINW + lane  # global home rows
+            ok = off_r + w_i * WINW + WINW <= end_r  # cap truncation guard
+            oh = jnp.where(
+                jnp.logical_and(mrow, sid == ids),
+                jnp.where(ok, 1.0, 0.0),
+                0.0,
+            ).astype(jnp.bfloat16)  # [chunk, WINW]
+            start = jnp.clip(off_r + w_i * WINW, 0, cap - WINW)
             w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
-            acc = acc + jax.lax.dot_general(
+            return acc + jax.lax.dot_general(
                 oh,
                 w,  # [TAB_ROWS, WINW]
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ind = jnp.sum(oh, axis=1, keepdims=True).astype(jnp.float32)
-            return (acc, addx + ind * ox, addy + ind * oy)
 
-        acc, addx, addy = jax.lax.fori_loop(0, nr_c, body, (acc, addx, addy))
+        # window 0 is straight-line (one window almost always covers a
+        # band row's ~chunk/3 consecutive rows; an empty row yields an
+        # all-zero one-hot); only rare extra windows pay a dynamic loop
+        acc = body(0, acc)
+        acc = jax.lax.fori_loop(1, nr_r, body, acc)
     att = acc[:, 0:ATT_COLS] + acc[:, 16 : 16 + ATT_COLS]
+    # per-pair class origin (garbage for invalid pairs — their zero
+    # opacity keeps them ineligible regardless)
+    addx = (tox + (1 - cls % 3) * ts).astype(jnp.float32)
+    addy = (toy + (1 - cls // 3) * ts).astype(jnp.float32)
     return jnp.concatenate(
         [att[:, 0:1] + addx, att[:, 1:2] + addy, att[:, 2:]], axis=1
     )
 
 
 def _scatter_grad(
-    los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk, k_slots, dmach, cap
+    los, nrs, blktab_ref, blk, dcand_ref, sid, crow, datt, chunk, k_slots,
+    dmach, cap,
 ):
-    """Transposed one-hot MXU scatter: accumulate datt [chunk, 9] into the
-    band-shaped gradient scratch (hi/lo bf16 split keeps ~16 mantissa
-    bits through the MXU)."""
+    """Transposed one-hot MXU scatter over per-band-row windows:
+    accumulate datt [chunk, 9] into the band-shaped gradient scratch
+    (hi/lo bf16 split keeps ~16 mantissa bits through the MXU)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     dpad = jnp.concatenate(
         [datt, jnp.zeros((chunk, GRAD_ROWS - ATT_COLS), jnp.float32)], axis=1
@@ -357,17 +369,20 @@ def _scatter_grad(
     # MXU call per window instead of two (the MXU pads the output sublane
     # dim regardless, so the halves ride along free), summed after
     dhl = jnp.concatenate([dh, dl], axis=1)  # [chunk, 32] bf16
-    for c in range(k_slots):
-        lo_c = los[c]
-        nr_c = nrs[c]
-        off_c, end_c = _win_to_scratch(blktab_ref, blk, lo_c)
+    for r in range(3):
+        lo_r = los[r]
+        nr_r = nrs[r]
+        off_r, end_r = _win_to_scratch(blktab_ref, blk, lo_r)
+        mrow = crow == r
 
-        def body(r, _, c=c, lo_c=lo_c, off_c=off_c, end_c=end_c):
-            ids = (lo_c + r * WINW + lane) * 16 + c  # (row, class) encoded
-            ok = off_c + r * WINW + WINW <= end_c
-            oh = jnp.where(rows2 == ids, jnp.where(ok, 1.0, 0.0), 0.0).astype(
-                jnp.bfloat16
-            )  # [chunk, WINW]
+        def body(w_i, _, lo_r=lo_r, off_r=off_r, end_r=end_r, mrow=mrow):
+            ids = lo_r + w_i * WINW + lane  # global home rows
+            ok = off_r + w_i * WINW + WINW <= end_r
+            oh = jnp.where(
+                jnp.logical_and(mrow, sid == ids),
+                jnp.where(ok, 1.0, 0.0),
+                0.0,
+            ).astype(jnp.bfloat16)  # [chunk, WINW]
             u2 = jax.lax.dot_general(
                 dhl,
                 oh,
@@ -375,12 +390,13 @@ def _scatter_grad(
                 preferred_element_type=jnp.float32,
             )  # [2·GRAD_ROWS, WINW]
             upd = u2[0:GRAD_ROWS] + u2[GRAD_ROWS:]
-            start = jnp.clip(off_c + r * WINW, 0, cap - WINW)
+            start = jnp.clip(off_r + w_i * WINW, 0, cap - WINW)
             sl = pl.ds(pl.multiple_of(start, WINW), WINW)
             dcand_ref[:, sl] = dcand_ref[:, sl] + upd
             return 0
 
-        jax.lax.fori_loop(0, nr_c, body, 0)
+        body(0, 0)  # straight-line common case (see _gather_att)
+        jax.lax.fori_loop(1, nr_r, body, 0)
 
 
 def _fake_att(rows2, origin, chunk):
@@ -477,16 +493,16 @@ def _stream_fwd_kernel(
         def _(k=k, u=u):
             C = out_ref[0, 4:5, :]
             win = starts_ref[tc] + k * chunk
-            rows2, los, nrs = _decode_windows(
+            sid, crow, cls, los, nrs = _decode_windows(
                 rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
                 srow
             )
             if "gather" in _ABLATE:
-                att = _fake_att(rows2, origin, chunk)
+                att = _fake_att(sid, origin, chunk)
             else:
                 att = _gather_att(
-                    los, nrs, blktab_ref, blk, band_ref, rows2, chunk,
-                    k_slots, dmach, cap, origin,
+                    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls,
+                    chunk, k_slots, dmach, cap, origin,
                 )
 
             alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
@@ -657,16 +673,16 @@ def _stream_bwd_kernel(
         @pl.when(live)
         def _(k=k, u=u):
             win = starts_ref[tc] + k * chunk
-            rows2, los, nrs = _decode_windows(
+            sid, crow, cls, los, nrs = _decode_windows(
                 rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
                 srow
             )
             if "gather" in _ABLATE:
-                att = _fake_att(rows2, origin, chunk)
+                att = _fake_att(sid, origin, chunk)
             else:
                 att = _gather_att(
-                    los, nrs, blktab_ref, blk, band_ref, rows2, chunk,
-                    k_slots, dmach, cap, origin,
+                    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls,
+                    chunk, k_slots, dmach, cap, origin,
                 )
 
             ct_img = ct_ref[0, 0:3, :]
@@ -729,8 +745,8 @@ def _stream_bwd_kernel(
 
             if "scatter" not in _ABLATE:
                 _scatter_grad(
-                    los, nrs, blktab_ref, blk, dcand_ref, rows2, datt, chunk,
-                    k_slots, dmach, cap,
+                    los, nrs, blktab_ref, blk, dcand_ref, sid, crow, datt,
+                    chunk, k_slots, dmach, cap,
                 )
 
             state_ref[0] = jnp.concatenate(
