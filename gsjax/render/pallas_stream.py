@@ -219,7 +219,9 @@ def _run_info(blktab_ref, blk, r):
 def _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach):
     """DMA the block's 3 runs into the band scratch (start-all, wait-all;
     the disjoint dmach-granular run partition makes every copy's target
-    region unique)."""
+    region unique). The first chunk of each run is straight-line under a
+    cheap predicate — Mosaic dynamic fori_loops cost ~1 µs each and runs
+    are usually 1-3 chunks."""
     for phase in ("start", "wait"):
         for r in range(3):
             glo, ln, base = _run_info(blktab_ref, blk, r)
@@ -240,7 +242,11 @@ def _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach):
                     cp.wait()
                 return 0
 
-            jax.lax.fori_loop(0, ln // dmach, body, 0)
+            @pl.when(ln >= dmach)  # empty runs have a sentinel address
+            def _(body=body):
+                body(0, 0)
+
+            jax.lax.fori_loop(1, ln // dmach, body, 0)
 
 
 def _win_to_scratch(blktab_ref, blk, lo_c):
@@ -619,7 +625,11 @@ def _stream_bwd_kernel(
                         cp.wait()
                     return 0
 
-                jax.lax.fori_loop(0, ln // dmach, body, 0)
+                @pl.when(ln >= dmach)
+                def _(body=body):
+                    body(0, 0)
+
+                jax.lax.fori_loop(1, ln // dmach, body, 0)
         dcand_ref[...] = dcand_ref[...] + stage_ref[...]
         for phase in ("start", "wait"):
             for r in range(3):
@@ -643,7 +653,11 @@ def _stream_bwd_kernel(
                         cp.wait()
                     return 0
 
-                jax.lax.fori_loop(0, ln // dmach, body, 0)
+                @pl.when(ln >= dmach)
+                def _(body=body):
+                    body(0, 0)
+
+                jax.lax.fori_loop(1, ln // dmach, body, 0)
 
     blk = _blk_of(tc, tiles_x, nbx, meta_ref[3])
 
