@@ -11,8 +11,9 @@ backward. This backend eliminates both:
   * the kernel walks the image in 3-tile-row × (block+halo)-column
     *bands*, DMA'd contiguously HBM→VMEM (no gather);
   * per pair chunk, attributes are fetched from the band scratch with an
-    MXU one-hot matmul: onehot[r, c] = (pair_row[r] == window_id[c]) over
-    per-(slot, class) 128-lane windows — the TPU's "gather" is a matmul;
+    MXU one-hot matmul: onehot[p, l] = (pair_row[p] == window_row[l], on
+    the pair's band row) over per-band-row 128-lane windows — the TPU's
+    "gather" is a matmul;
   * attribute f32 exactness through the bf16 MXU comes from a hi/lo
     bf16 split (hi + lo carries a 16+ bit mantissa; selection rows have a
     single 1 so the f32 accumulation is exact);
@@ -405,11 +406,12 @@ def _scatter_grad(
         jax.lax.fori_loop(1, nr_r, body, 0)
 
 
-def _fake_att(rows2, origin, chunk):
+def _fake_att(sid, origin, chunk):
     """Ablation stand-in for _gather_att: plausible magnitudes, data-
-    dependent on rows2 so nothing constant-folds (profiling only)."""
+    dependent on the row ids so nothing constant-folds (profiling
+    only)."""
     tox, toy, ts = origin
-    noise = (rows2 % 97).astype(jnp.float32) * 1e-3  # [chunk, 1]
+    noise = (sid % 97).astype(jnp.float32) * 1e-3  # [chunk, 1]
     cx = jnp.float32(tox) + 0.5 * ts
     cy = jnp.float32(toy) + 0.5 * ts
     return jnp.concatenate(

@@ -17,8 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ABLATIONS = ["", "gather", "hs", "exp", "dots", "scatter",
-             "gather,hs,exp,dots,scatter"]
+ABLATIONS = ["", "gather", "hs", "exp", "scatter"]
 
 
 def parent():
