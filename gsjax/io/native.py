@@ -29,7 +29,21 @@ def _load_lib():
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(here, "native", "libgsjax_io.so")
     if not os.path.exists(path):
-        return None
+        # build on first use when a toolchain is available (the .so is
+        # not versioned); any failure falls back to the numpy parser
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
     lib = ctypes.CDLL(path)
     lib.gsjax_parse_ply.restype = ctypes.c_int
     lib.gsjax_parse_ply.argtypes = [
