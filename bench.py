@@ -110,7 +110,7 @@ def main():
     # compile + warmup
     t0 = time.perf_counter()
     g1, opt_state1, loss = step(g, opt_state, target)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # block_until_ready does not block through axon
     compile_s = time.perf_counter() - t0
     print(
         f"# backend={backend} n={n} {width}x{height} "
@@ -123,7 +123,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.frames):
         g1, opt_state1, loss = step(g1, opt_state1, target)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # block_until_ready does not block through axon
     ms = (time.perf_counter() - t0) / args.frames * 1e3
 
     print(

@@ -106,19 +106,29 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     so instead the pid stream is viewed as [S/PACKW, PACKW] rows and each slot
     gathers ceil((chunk+128)/PACKW) rows starting at a PACKW-floor of its
     window — far fewer gather rows. The kernel rotates the raw window into
-    place (win % PACKW lanes), decodes (row, class), and derives its own one-hot
-    class windows; no other per-slot table is materialized.
+    place (win % PACKW lanes) and decodes (row, class).
 
-    Returns (pidwin [NCB, chunk+128] i32 raw, tile_of [NCB], cbase)."""
+    The per-band-row one-hot window bounds (lo, n_windows) are
+    precomputed HERE — 6 masked lane-reduces over the whole [NCB, lanes]
+    array at full VPU rate — and stashed in each row's slack lanes
+    [lanes-8, lanes-2) (a chunk occupies lanes [sh, sh+chunk), sh < PACKW,
+    so the last 8 lanes are never pair data, and the kernel's rotation
+    never moves them into the consumed [:chunk] region). In-kernel the 6
+    values are single scalar VMEM reads; deriving them there cost 6
+    cross-sublane masked min/max reduces (~0.3-0.5 µs EACH) per live
+    chunk — the largest per-chunk overhead after the fix.
+
+    Returns (pidwin [NCB, chunk+128] i32 raw+meta, tile_of [NCB], cbase)."""
     chunk = cfg.chunk
     u = cfg.stream_unroll
+    k_slots = cfg.tile_span * cfg.tile_span
     S = pid_sorted.shape[0]
     n_tiles = starts.shape[0] - 1
     # per-tile slot counts pad to an unroll multiple (worst case u-1 pad
     # slots per tile), and NCB itself to an unroll multiple
     ncb = S // chunk + (n_tiles + 1) * u
     ncb = _ceil(ncb, u) * u
-    tile_of, win, cbase, _valid = _slot_tables(starts, chunk, ncb, u)
+    tile_of, win, cbase, vcnt = _slot_tables(starts, chunk, ncb, u)
 
     lanes = _win_lanes(chunk)
     nrow = lanes // PACKW
@@ -129,7 +139,31 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
         0,
         pid_rows.shape[0] - 1,
     )
-    pidwin = pid_rows[idx].reshape(ncb, lanes)
+    # barrier: the row gather feeds both the output and the 6 bound
+    # reduces below — without it XLA input-fuses (= recomputes) the
+    # gather into every reduce (measured 7 → 35 ms for this stage)
+    pidwin = jax.lax.optimization_barrier(pid_rows[idx].reshape(ncb, lanes))
+
+    # one-hot window bounds per (slot, band row), masked exactly like the
+    # kernel's validity rule: lane l holds chunk element srow = l - sh,
+    # real iff 0 <= srow < valid_count
+    sh = (win % PACKW)[:, None]
+    srow_l = jnp.arange(lanes, dtype=jnp.int32)[None, :] - sh
+    ok = (srow_l >= 0) & (srow_l < vcnt[:, None])
+    sid = pidwin // k_slots
+    crow = (pidwin - sid * k_slots) // 3
+    big = jnp.int32(2**30)
+    meta = []
+    for r in range(3):
+        m = ok & (crow == r)
+        rmin = jnp.min(jnp.where(m, sid, big), axis=1)
+        rmax = jnp.max(jnp.where(m, sid, -1), axis=1)
+        lo = jnp.where(rmax >= 0, (rmin // WINW) * WINW, 0)
+        nr = jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0)
+        meta += [lo, nr]
+    pidwin = pidwin.at[:, lanes - 8 : lanes - 2].set(
+        jnp.stack(meta, axis=1).astype(jnp.int32)
+    )
     return pidwin, tile_of, cbase
 
 
@@ -270,36 +304,31 @@ def _win_to_scratch(blktab_ref, blk, lo_c):
     return off, b2 + l2
 
 
-def _decode_windows(raw_row, win, count, k, chunk, k_slots, srow):
-    """Rotate the raw PACKW-aligned pid window (a [1, lanes] value) into
-    place, decode (row, class), and derive per-BAND-ROW one-hot windows
-    in-kernel: the 3 classes of a band row occupy contiguous home
-    segments (adjacent neighbor tiles), so one window covers all three —
-    a third of the one-hot/MXU rounds of per-class windows. Matching
-    masks on the band row (a window's 128-row slack can dip into the
-    adjacent band row's segments, where a row id alone would collide).
+def _decode_windows(rows_ref, u, win, count, k, chunk, k_slots, srow):
+    """Rotate the raw PACKW-aligned pid window (row u of the [1, U, lanes]
+    block) into place and decode (row, class). The per-BAND-ROW one-hot
+    window bounds — one window usually covers a band row's 3 classes'
+    contiguous segments — were precomputed XLA-side by
+    packed_pid_windows and stashed in the row's slack lanes; here they
+    are 6 scalar VMEM reads (deriving them in-kernel cost 6 cross-sublane
+    masked reduces at ~0.3-0.5 µs each per live chunk). Matching masks on
+    the band row (a window's 128-row slack can dip into the adjacent band
+    row's segments, where a row id alone would collide).
 
     Returns (sid [chunk, 1] home rows (-1 invalid), crow [chunk, 1] band
     row of each pair's class (-1 invalid), cls [chunk, 1], los, nrs —
     python lists of 3 scalars)."""
     lanes = _win_lanes(chunk)
     sh = win % PACKW
-    raw = pltpu.roll(raw_row, lanes - sh, 1)  # [1, lanes]
+    raw = pltpu.roll(rows_ref[0, u : u + 1, :], lanes - sh, 1)  # [1, lanes]
     rows = jnp.swapaxes(raw[:, :chunk], 0, 1)  # [chunk, 1]
     valid = (k * chunk + srow) < count
     sid = rows // k_slots
     cls = rows - sid * k_slots
     crow = jnp.where(valid, cls // 3, -1)
     sid = jnp.where(valid, sid, -1)
-    big = jnp.int32(2**30)
-    los, nrs = [], []
-    for r in range(3):
-        m = crow == r
-        rmin = jnp.min(jnp.where(m, sid, big))
-        rmax = jnp.max(jnp.where(m, sid, -1))
-        lo = (rmin // WINW) * WINW
-        los.append(jnp.where(rmax >= 0, lo, 0))
-        nrs.append(jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0))
+    los = [rows_ref[0, u, lanes - 8 + 2 * r] for r in range(3)]
+    nrs = [rows_ref[0, u, lanes - 8 + 2 * r + 1] for r in range(3)]
     return sid, crow, cls, los, nrs
 
 
@@ -502,8 +531,7 @@ def _stream_fwd_kernel(
             C = out_ref[0, 4:5, :]
             win = starts_ref[tc] + k * chunk
             sid, crow, cls, los, nrs = _decode_windows(
-                rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
-                srow
+                rows_ref, u, win, count, k, chunk, k_slots, srow
             )
             if "gather" in _ABLATE:
                 att = _fake_att(sid, origin, chunk)
@@ -690,8 +718,7 @@ def _stream_bwd_kernel(
         def _(k=k, u=u):
             win = starts_ref[tc] + k * chunk
             sid, crow, cls, los, nrs = _decode_windows(
-                rows_ref[0, u : u + 1, :], win, count, k, chunk, k_slots,
-                srow
+                rows_ref, u, win, count, k, chunk, k_slots, srow
             )
             if "gather" in _ABLATE:
                 att = _fake_att(sid, origin, chunk)

@@ -7,6 +7,12 @@ full − ablated is that stage's cost. Images are garbage under ablation;
 this tool is timing-only.
 
   python tools/ablate_stream.py [--n 1200000] [--wh 1920x1080] [--reps 3]
+
+CAVEAT: with early termination on, any ablation that changes
+alpha/transmittance changes the live chunk set, so deltas conflate
+stage cost with workload. Pass --eps 0 to disable termination: every
+in-count chunk is live for every variant and deltas are clean
+per-chunk stage costs (on the ~6.5× larger no-termination workload).
 """
 
 import argparse
@@ -37,6 +43,8 @@ def child():
     ap.add_argument("--wh", default="1920x1080")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--eps", type=float, default=1e-4)
+    ap.add_argument("--pair-cap", type=int, default=8_000_000)
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -71,7 +79,12 @@ def child():
         _sync(out)
         return (time.perf_counter() - t0) / reps * 1e3, out
 
-    cfg = RenderConfig(backend="stream", chunk=args.chunk)
+    cfg = RenderConfig(
+        backend="stream",
+        chunk=args.chunk,
+        transmittance_eps=args.eps,
+        pair_cap=args.pair_cap or None,
+    )
     g = bonsai_like(n=args.n)
     cam = bench_camera(width=W, height=H)
 
