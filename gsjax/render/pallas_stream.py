@@ -660,7 +660,23 @@ def _stream_bwd_kernel(
                     body(0, 0)
 
                 jax.lax.fori_loop(1, ln // dmach, body, 0)
-        dcand_ref[...] = dcand_ref[...] + stage_ref[...]
+        # extent-bounded accumulate: only the loaded runs' lanes hold
+        # data (scatter's cap guard zeroes everything past the extent),
+        # so a full [GRAD_ROWS, cap] add would waste ~10x the VMEM
+        # traffic at typical extents
+        for r in range(3):
+            _glo, ln, base = _run_info(blktab_ref, blkprev, r)
+
+            def add_body(i, _, base=base):
+                sl = pl.ds(pl.multiple_of(base + i * dmach, dmach), dmach)
+                dcand_ref[:, sl] = dcand_ref[:, sl] + stage_ref[:, sl]
+                return 0
+
+            @pl.when(ln >= dmach)
+            def _(add_body=add_body):
+                add_body(0, 0)
+
+            jax.lax.fori_loop(1, ln // dmach, add_body, 0)
         for phase in ("start", "wait"):
             for r in range(3):
                 glo, ln, base = _run_info(blktab_ref, blkprev, r)
@@ -697,7 +713,22 @@ def _stream_bwd_kernel(
         def _():
             flush(cur_ref[0])
 
-        dcand_ref[...] = jnp.zeros((GRAD_ROWS, cap), jnp.float32)
+        # zero only the new block's loaded extent: flush reads back
+        # exactly these lanes (stale values elsewhere are never read;
+        # scatter's cap-clipped writes beyond the extent add zeros)
+        for r in range(3):
+            _glo, ln, base = _run_info(blktab_ref, blk, r)
+
+            def zero_body(i, _, base=base):
+                sl = pl.ds(pl.multiple_of(base + i * dmach, dmach), dmach)
+                dcand_ref[:, sl] = jnp.zeros((GRAD_ROWS, dmach), jnp.float32)
+                return 0
+
+            @pl.when(ln >= dmach)
+            def _(zero_body=zero_body):
+                zero_body(0, 0)
+
+            jax.lax.fori_loop(1, ln // dmach, zero_body, 0)
         _load_band(blktab_ref, blk, att_any, band_ref, sem, dmach)
         cur_ref[0] = blk
 

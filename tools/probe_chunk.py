@@ -91,6 +91,108 @@ def _mk(variant):
                 scr_ref[:, sl] = scr_ref[:, sl] + upd
             _out(o_ref, scr_ref[0, 0])
             return
+        if variant == "fori0":  # 3 dynamic fori_loops with ZERO iterations
+            nr = rows_ref[0, 1] % 1  # data-dependent 0
+
+            def body(w_i, acc):
+                return acc + jnp.float32(w_i)
+
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(3):
+                acc = jax.lax.fori_loop(1, 1 + nr, body, acc)
+            _out(o_ref, acc)
+            return
+        if variant == "when_f":  # 3 pl.when branches that never run
+            nr = rows_ref[0, 1] % 1
+
+            for _ in range(3):
+
+                @pl.when(nr > 0)
+                def _():
+                    scr_ref[0:1, 0:128] = jnp.zeros((1, 128), jnp.float32)
+
+            _out(o_ref, jnp.int32(nr))
+            return
+        if variant == "banddyn":  # 3 dynamic-lane-offset band reads + dot
+            oh = jnp.ones((CHUNK, WINW), jnp.bfloat16)
+            acc = jnp.zeros((CHUNK, 32), jnp.float32)
+            for r in range(3):
+                start = (rows_ref[0, r] % 3) * WINW  # dynamic, 128-aligned
+                w = band_ref[0:32, pl.ds(pl.multiple_of(start, WINW), WINW)]
+                acc = acc + jax.lax.dot_general(
+                    oh, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            _out(o_ref, acc[0, 0])
+            return
+        if variant == "gatherreal":  # full _gather_att shape: dynamic
+            # offsets + masked one-hot + empty extra-window fori, x3 rows
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+            acc = jnp.zeros((CHUNK, 32), jnp.float32)
+            for r in range(3):
+                lo_r = (rows_ref[0, r] % 3) * WINW
+                off_r = lo_r
+                end_r = rows_ref[0, 3] % 512 + 512
+                nr_r = rows_ref[0, 4] % 1 + 1  # data-dependent 1
+                mrow = crow == r
+
+                def body(w_i, acc, lo_r=lo_r, off_r=off_r, end_r=end_r,
+                         mrow=mrow):
+                    ids = lo_r + w_i * WINW + lane
+                    ok = off_r + w_i * WINW + WINW <= end_r
+                    oh = jnp.where(
+                        jnp.logical_and(mrow, sid == ids),
+                        jnp.where(ok, 1.0, 0.0),
+                        0.0,
+                    ).astype(jnp.bfloat16)
+                    start = jnp.clip(off_r + w_i * WINW, 0, 512 - WINW)
+                    w = band_ref[0:32, pl.ds(pl.multiple_of(start, WINW), WINW)]
+                    return acc + jax.lax.dot_general(
+                        oh, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                acc = body(0, acc)
+                acc = jax.lax.fori_loop(1, nr_r, body, acc)
+            _out(o_ref, acc[0, 0])
+            return
+        if variant == "dynread":  # fori over 10 dynamic-lane scalar reads
+            nd = rows_ref[0, 1] % 1 + 10  # data-dependent 10
+
+            def body(i, acc):
+                return acc + rows_ref[0, 128 + i]
+
+            acc = jax.lax.fori_loop(0, nd, body, jnp.int32(0))
+            _out(o_ref, acc)
+            return
+        if variant == "flatgather":  # ONE fori over 10 descriptor rounds
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+            nd = rows_ref[0, 1] % 1 + 10
+
+            def body(i, acc):
+                desc = rows_ref[0, 128 + i]
+                cls_s = desc & 15
+                lo = (desc >> 4) * WINW
+                off = lo % 256  # stand-in for the threshold translation
+                ids = lo + lane
+                ok = off + WINW <= 512
+                oh = jnp.where(
+                    jnp.logical_and(crow == cls_s, sid == ids),
+                    jnp.where(ok, 1.0, 0.0),
+                    0.0,
+                ).astype(jnp.bfloat16)
+                start = jnp.clip(off, 0, 512 - WINW)
+                w = band_ref[0:32, pl.ds(pl.multiple_of(start, WINW), WINW)]
+                return acc + jax.lax.dot_general(
+                    oh, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc = jax.lax.fori_loop(
+                0, nd, body, jnp.zeros((CHUNK, 32), jnp.float32)
+            )
+            _out(o_ref, acc[0, 0])
+            return
         # pixel-space ops on [CHUNK, N_PX]
         att = band_ref[0:CHUNK, 0:N_PX].astype(jnp.float32)
         if variant == "alpha":  # dx/dy/power/fexp/alpha chain
@@ -178,9 +280,17 @@ def run(variant, base_ms=0.0):
 
 
 if __name__ == "__main__":
+    import sys
+
+    vs = (
+        sys.argv[1].split(",")
+        if len(sys.argv) > 1
+        else [
+            "roll", "swapaxes", "decode", "onehot3", "scatter3", "alpha",
+            "hs_prod", "dots", "bwdsums", "fori0", "when_f", "banddyn",
+            "gatherreal",
+        ]
+    )
     base = run("base")
-    for v in [
-        "roll", "swapaxes", "decode", "onehot3", "scatter3", "alpha",
-        "hs_prod", "dots", "bwdsums",
-    ]:
+    for v in vs:
         run(v, base)

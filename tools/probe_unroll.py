@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--unrolls", default="4,8,16")
     ap.add_argument("--pair-cap", type=int, default=None)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tile-size", type=int, default=16)
+    ap.add_argument("--block-tiles", type=int, default=8)
+    ap.add_argument("--band-cap", type=int, default=49152)
     args = ap.parse_args()
 
     g = bonsai_like(n=args.n)
@@ -60,14 +63,18 @@ def main():
 
     for u in [int(x) for x in args.unrolls.split(",")]:
         cfg = RenderConfig(
-            backend="stream", stream_unroll=u, pair_cap=args.pair_cap
+            backend="stream", stream_unroll=u, pair_cap=args.pair_cap,
+            tile_size=args.tile_size, stream_block_tiles=args.block_tiles,
+            stream_band_cap=args.band_cap,
         )
         prep = jax.jit(
             lambda g, cfg=cfg: _prep(g, cam, cfg)
         )
         inputs = prep(g)
         _sync(inputs)
-        att_tab, pidwin, blktab, starts, cbase, tile_of, ty0 = inputs
+        att_tab, pidwin, blktab, starts, cbase, tile_of, ty0 = inputs[:7]
+        n_pairs, novf = int(inputs[7]), int(inputs[8])
+        print(f"  pairs={n_pairs} band_overflow={novf}", flush=True)
         tiles_x = cfg.tiles_x(cam.width)
         band_rows = cfg.tiles_y(cam.height)
         ncb = pidwin.shape[0]
@@ -95,7 +102,7 @@ def _prep(g, cam, cfg):
     bins = build_tile_bins(p, cam, cfg, anchor="home")
     pid, starts, _nd = clipped_pair_stream(bins, cfg)
     pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg)
-    blktab, _novf = band_blocks(
+    blktab, novf = band_blocks(
         layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
         bins.band_rows, cfg,
     )
@@ -106,7 +113,8 @@ def _prep(g, cam, cfg):
             p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
             p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2], p.opacity)
     att_tab = att_cols_table(cols, _table_pad(cols[0].shape[0], cfg))
-    return (att_tab, pidwin, blktab, starts, cbase, tile_of, bins.ty0)
+    return (att_tab, pidwin, blktab, starts, cbase, tile_of, bins.ty0,
+            bins.n_pairs, novf)
 
 
 if __name__ == "__main__":
