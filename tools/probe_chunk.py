@@ -193,6 +193,55 @@ def _mk(variant):
             )
             _out(o_ref, acc[0, 0])
             return
+        if variant == "maskwalk":  # one fori walking 3 occupancy masks
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+            # 3 data-dependent masks with 3 set bits each (9 rounds)
+            m0 = (rows_ref[0, 1] % 1) | 0x13
+            m1 = (rows_ref[0, 2] % 1) | 0x0B
+            m2 = (rows_ref[0, 3] % 1) | 0x26
+            los = [rows_ref[0, r] % 2 * WINW for r in range(3)]
+            nr = rows_ref[0, 4] % 1 + 9
+
+            def ctz(x):  # x a power of two; 5 constant-mask selects
+                p = jnp.int32(0)
+                p += jnp.where((x & jnp.int32(0x0000FFFF)) == 0, 16, 0)
+                p += jnp.where((x & jnp.int32(0x00FF00FF)) == 0, 8, 0)
+                p += jnp.where((x & jnp.int32(0x0F0F0F0F)) == 0, 4, 0)
+                p += jnp.where((x & jnp.int32(0x33333333)) == 0, 2, 0)
+                p += jnp.where((x & jnp.int32(0x55555555)) == 0, 1, 0)
+                return p
+
+            def body(i, c):
+                m0, m1, m2, acc = c
+                r0 = m0 != 0
+                r1 = jnp.logical_and(jnp.logical_not(r0), m1 != 0)
+                m = jnp.where(r0, m0, jnp.where(r1, m1, m2))
+                lo = jnp.where(r0, los[0], jnp.where(r1, los[1], los[2]))
+                r_cur = jnp.where(r0, 0, jnp.where(r1, 1, 2))
+                mrow = crow == r_cur
+                low = m & -m
+                pos = ctz(low)
+                ids = lo + pos * WINW + lane
+                oh = jnp.where(
+                    jnp.logical_and(mrow, sid == ids), 1.0, 0.0
+                ).astype(jnp.bfloat16)
+                start = (lo + pos * WINW) % 256
+                w = band_ref[0:32, pl.ds(pl.multiple_of(start, WINW), WINW)]
+                acc = acc + jax.lax.dot_general(
+                    oh, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ms = m & (m - 1)
+                m0 = jnp.where(r0, ms, m0)
+                m1 = jnp.where(r1, ms, m1)
+                m2 = jnp.where(jnp.logical_or(r0, r1), m2, ms)
+                return (m0, m1, m2, acc)
+
+            _, _, _, acc = jax.lax.fori_loop(
+                0, nr, body, (m0, m1, m2, jnp.zeros((CHUNK, 32), jnp.float32))
+            )
+            _out(o_ref, acc[0, 0])
+            return
         # pixel-space ops on [CHUNK, N_PX]
         att = band_ref[0:CHUNK, 0:N_PX].astype(jnp.float32)
         if variant == "alpha":  # dx/dy/power/fexp/alpha chain
