@@ -15,10 +15,12 @@ Usage: python bench.py [--quick] [--n N] [--frames K] [--backend xla|pallas]
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,6 +37,13 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument(
+        "--scene",
+        default="bonsai",
+        choices=["bonsai", "garden"],
+        help="bonsai: 1.2M-splat headline scene (BASELINE config 3); "
+        "garden: 5M-splat outdoor scan, sh degree 3 (config 4 scale)",
+    )
+    ap.add_argument(
         "--pair-cap",
         type=int,
         default=8_000_000,
@@ -49,7 +58,7 @@ def main():
     import optax
 
     from gsjax import RenderConfig, render
-    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.bench.synth import bench_camera, bonsai_like, garden_like
 
     backend = args.backend or ("stream" if jax.default_backend() == "tpu" else "xla")
     try:
@@ -72,7 +81,14 @@ def main():
             pair_cap=args.pair_cap or None,
         )
 
-    g = bonsai_like(n=n, sh_degree=0)
+    if args.scene == "garden":
+        n = args.n or 5_000_000
+        g = garden_like(n=n)
+        # 4x the splat density of bonsai: narrower column blocks keep the
+        # dense ground-plane tiles inside the VMEM band budget
+        cfg = dataclasses.replace(cfg, stream_block_tiles=4)
+    else:
+        g = bonsai_like(n=n, sh_degree=0)
     cam = bench_camera(width=width, height=height)
 
     opt = optax.adam(1e-3)
@@ -86,8 +102,9 @@ def main():
             return g, opt_state, jnp.mean(render(g, cam, cfg))
 
     else:
-
-        @jax.jit
+        # donate params + opt state: the step consumes and replaces them,
+        # and the dead copies are ~2.4 GB at garden scale (5M splats)
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(g, opt_state, target):
             def loss_fn(g):
                 img = render(g, cam, cfg)
@@ -100,12 +117,13 @@ def main():
 
     # honesty check: the static pair budget must not truncate this scene
     _, aux = render(g, cam, cfg, return_aux=True)
-    novf = sum(
-        int(aux[k])
+    ovf = {
+        k: int(aux[k])
         for k in ("n_pair_overflow", "n_band_overflow", "n_tile_overflow")
         if k in aux
-    )
-    print(f"# overflow: {novf} (must be 0)", file=sys.stderr)
+    }
+    novf = sum(ovf.values())
+    print(f"# overflow: {novf} (must be 0) {ovf}", file=sys.stderr)
 
     # compile + warmup
     t0 = time.perf_counter()

@@ -458,7 +458,7 @@ def _fake_att(sid, origin, chunk):
 def _stream_fwd_kernel(
     starts_ref,  # [T+2] i32 scalar prefetch
     cbase_ref,  # [T+1]
-    tof_ref,  # [NCB]
+    tof_ref,  # [NCB/u] tile of each slot GROUP
     meta_ref,  # [4]: ty0, tiles_x, nbx, blkw
     blktab_ref,  # [NBLK·12]
     rows_ref,  # [1, U, chunk+WINW] i32 raw pid window block (group js)
@@ -484,7 +484,7 @@ def _stream_fwd_kernel(
     # the slot group [js·U, (js+1)·U) never spans tiles (_slot_tables pads
     # per-tile slot counts to unroll multiples), so tile-level state is
     # computed once per grid step and the per-step overhead amortizes
-    t = tof_ref[js * unroll]
+    t = tof_ref[js]  # group-level: [NCB/u] (per-slot hit the 1MB SMEM cap at 5M splats)
     dead = t == n_tiles
     tc = jnp.minimum(t, n_tiles - 1)
     count = starts_ref[tc + 1] - starts_ref[tc]
@@ -579,7 +579,7 @@ def _stream_fwd_kernel(
 def _stream_bwd_kernel(
     starts_ref,
     cbase_ref,
-    tof_ref,  # [NCB] (forward order; groups process in reverse)
+    tof_ref,  # [NCB/u] tile per group (forward order; groups process in reverse)
     meta_ref,
     blktab_ref,
     rows_ref,  # [1, U, chunk+WINW] raw pid window block of group ngrp-1-js
@@ -612,7 +612,7 @@ def _stream_bwd_kernel(
     n_px = ts * ts
     js = pl.program_id(0)
     g = pl.num_programs(0) - 1 - js  # slot group, descending
-    t = tof_ref[g * unroll]
+    t = tof_ref[g]  # group-level: [NCB/u]
     dead = t == n_tiles
     tc = jnp.minimum(t, n_tiles - 1)
     k0 = g * unroll - cbase_ref[tc]
@@ -886,7 +886,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
             pl.BlockSpec(
                 (1, u, _win_lanes(cfg.chunk)),
                 lambda j, st, cb, tof, m, bt: (
-                    jnp.where(tof[j * u] == n_tiles, 0, j),
+                    jnp.where(tof[j] == n_tiles, 0, j),
                     0,
                     0,
                 ),
@@ -896,7 +896,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         ],
         out_specs=pl.BlockSpec(
             (1, FWD_ROWS, n_px),
-            lambda j, st, cb, tof, m, bt: (tof[j * u], 0, 0),
+            lambda j, st, cb, tof, m, bt: (tof[j], 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -910,7 +910,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles + 1, FWD_ROWS, n_px), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(starts_pad, cbase, tile_of, meta, blktab,
+    )(starts_pad, cbase, tile_of[::u], meta, blktab,
       pidwin.reshape(ncb // u, u, -1), att_tab)
     out = out[:n_tiles]
     empty = (starts[1:] == starts[:-1])[:, None, None]
@@ -964,10 +964,10 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         # groups process in reverse; dead groups collapse to block 0
         # (one fetch per dead run)
         g = ngrp - 1 - j
-        return (jnp.where(tof[g * u] == n_tiles, 0, g), 0, 0)
+        return (jnp.where(tof[g] == n_tiles, 0, g), 0, 0)
 
     def tile_idx(j, st, cb, tof, m, bt):
-        return (tof[(ngrp - 1 - j) * u], 0, 0)
+        return (tof[ngrp - 1 - j], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1005,7 +1005,7 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         input_output_aliases={7: 0},  # dzero (after 5 prefetch + 2 inputs)
         interpret=jax.default_backend() != "tpu",
     )(
-        starts_pad, cbase, tile_of, meta, blktab,
+        starts_pad, cbase, tile_of[::u], meta, blktab,
         pidwin.reshape(ngrp, u, -1), att_tab, dzero, ct, fwd_pad,
     )
     return dgrad  # [GRAD_ROWS, NP]
