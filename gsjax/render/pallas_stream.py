@@ -63,6 +63,11 @@ from gsjax.render.pallas_flat import _ABLATE  # noqa: E402
 WINW = 128  # window lanes per one-hot round
 TAB_ROWS = 32  # att table sublanes: 0:9 hi, 16:25 lo
 GRAD_ROWS = 16  # dcand scratch sublanes: 0:9 used
+# window base for classes with no pairs in the chunk: home rows are
+# >= -1, so ids = WIN_SENTINEL + lane can never match a sid and the
+# round's one-hot is provably all-zero (the round still runs — a wasted
+# MXU pass is far cheaper than a pl.when region, see DESIGN.md)
+WIN_SENTINEL = -(1 << 20)
 
 
 def _ceil(a, b):
@@ -144,26 +149,36 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     # gather into every reduce (measured 7 → 35 ms for this stage)
     pidwin = jax.lax.optimization_barrier(pid_rows[idx].reshape(ncb, lanes))
 
-    # one-hot window bounds per (slot, band row), masked exactly like the
+    # one-hot window bounds per (slot, CLASS), masked exactly like the
     # kernel's validity rule: lane l holds chunk element srow = l - sh,
-    # real iff 0 <= srow < valid_count
+    # real iff 0 <= srow < valid_count. A chunk's class-c pairs are a
+    # contiguous depth slice of ONE home segment, so per-class windows
+    # hit the occupied-block floor (~9.15/chunk vs 21.4 for the merged
+    # per-band-row windows — render/DESIGN.md); the kernel runs 9
+    # unconditional straight-line rounds (empty classes get a sentinel
+    # base that can never match a home row) plus one shared dynamic
+    # spill loop over the rare boundary-straddling extra windows.
     sh = (win % PACKW)[:, None]
     srow_l = jnp.arange(lanes, dtype=jnp.int32)[None, :] - sh
     ok = (srow_l >= 0) & (srow_l < vcnt[:, None])
     sid = pidwin // k_slots
-    crow = (pidwin - sid * k_slots) // 3
+    cls_arr = pidwin - sid * k_slots
     big = jnp.int32(2**30)
-    meta = []
-    for r in range(3):
-        m = ok & (crow == r)
+    los, extras = [], []
+    for c in range(k_slots):
+        m = ok & (cls_arr == c)
         rmin = jnp.min(jnp.where(m, sid, big), axis=1)
         rmax = jnp.max(jnp.where(m, sid, -1), axis=1)
-        lo = jnp.where(rmax >= 0, (rmin // WINW) * WINW, 0)
-        nr = jnp.where(rmax >= 0, (rmax - lo) // WINW + 1, 0)
-        meta += [lo, nr]
-    pidwin = pidwin.at[:, lanes - 8 : lanes - 2].set(
-        jnp.stack(meta, axis=1).astype(jnp.int32)
-    )
+        nonempty = rmax >= 0
+        lo = jnp.where(nonempty, (rmin // WINW) * WINW, WIN_SENTINEL)
+        los.append(lo)
+        extras.append(jnp.where(nonempty, (rmax - lo) // WINW, 0))
+    cums, tot = [], jnp.zeros_like(extras[0])
+    for c in range(k_slots):
+        tot = tot + extras[c]
+        cums.append(tot)
+    meta = jnp.stack(los + cums, axis=1).astype(jnp.int32)  # [NCB, 18]
+    pidwin = pidwin.at[:, lanes - 2 - 2 * k_slots : lanes - 2].set(meta)
     return pidwin, tile_of, cbase
 
 
@@ -306,38 +321,57 @@ def _win_to_scratch(blktab_ref, blk, lo_c):
 
 def _decode_windows(rows_ref, u, win, count, k, chunk, k_slots, srow):
     """Rotate the raw PACKW-aligned pid window (row u of the [1, U, lanes]
-    block) into place and decode (row, class). The per-BAND-ROW one-hot
-    window bounds — one window usually covers a band row's 3 classes'
-    contiguous segments — were precomputed XLA-side by
+    block) into place and decode (row, class). The per-CLASS one-hot
+    window bounds — a chunk's class-c pairs are one contiguous depth
+    slice of one home segment — were precomputed XLA-side by
     packed_pid_windows and stashed in the row's slack lanes; here they
-    are 6 scalar VMEM reads (deriving them in-kernel cost 6 cross-sublane
-    masked reduces at ~0.3-0.5 µs each per live chunk). Matching masks on
-    the band row (a window's 128-row slack can dip into the adjacent band
-    row's segments, where a row id alone would collide).
+    are 18 scalar VMEM reads (deriving them in-kernel cost masked
+    cross-sublane reduces at ~0.3-0.5 µs each per live chunk). Matching
+    masks on the class (a window's 128-row slack can dip into adjacent
+    segments, where a row id alone would double-count a pair).
 
-    Returns (sid [chunk, 1] home rows (-1 invalid), crow [chunk, 1] band
-    row of each pair's class (-1 invalid), cls [chunk, 1], los, nrs —
-    python lists of 3 scalars)."""
+    Returns (sid [chunk, 1] home rows (-1 invalid), cls [chunk, 1] class
+    (-1 invalid), los, cums — python lists of k_slots scalars: per-class
+    window bases (WIN_SENTINEL when empty) and inclusive cumulative
+    spill-window counts)."""
     lanes = _win_lanes(chunk)
     sh = win % PACKW
     raw = pltpu.roll(rows_ref[0, u : u + 1, :], lanes - sh, 1)  # [1, lanes]
     rows = jnp.swapaxes(raw[:, :chunk], 0, 1)  # [chunk, 1]
     valid = (k * chunk + srow) < count
     sid = rows // k_slots
-    cls = rows - sid * k_slots
-    crow = jnp.where(valid, cls // 3, -1)
+    cls = jnp.where(valid, rows - sid * k_slots, -1)
     sid = jnp.where(valid, sid, -1)
-    los = [rows_ref[0, u, lanes - 8 + 2 * r] for r in range(3)]
-    nrs = [rows_ref[0, u, lanes - 8 + 2 * r + 1] for r in range(3)]
-    return sid, crow, cls, los, nrs
+    m0 = lanes - 2 - 2 * k_slots
+    los = [rows_ref[0, u, m0 + c] for c in range(k_slots)]
+    cums = [rows_ref[0, u, m0 + k_slots + c] for c in range(k_slots)]
+    return sid, cls, los, cums
+
+
+def _spill_params(i, los, cums):
+    """Map shared-spill-loop iteration i to its (window base, class,
+    window index) via scalar select chains over the per-class bounds:
+    spill i belongs to class c where cums[c-1] <= i < cums[c], and is
+    that class's (i - cums[c-1] + 1)-th window."""
+    lo_s, prev, ci = los[0], jnp.int32(0), jnp.int32(0)
+    for c in range(1, len(los)):
+        take = i >= cums[c - 1]
+        lo_s = jnp.where(take, los[c], lo_s)
+        prev = jnp.where(take, cums[c - 1], prev)
+        ci = jnp.where(take, jnp.int32(c), ci)
+    return lo_s, ci, i - prev + 1
 
 
 def _gather_att(
-    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls, chunk, k_slots,
+    los, cums, blktab_ref, blk, band_ref, sid, cls, chunk, k_slots,
     dmach, cap, origin,
 ):
-    """One-hot MXU gather of this chunk's pair attributes over per-band-
-    row windows: onehot[pair, lane] = (sid == window row) & (crow == r).
+    """One-hot MXU gather of this chunk's pair attributes over per-CLASS
+    windows: onehot[pair, lane] = (sid == window row) & (cls == c).
+    k_slots unconditional straight-line rounds (register-carried acc, no
+    pl.when, no VMEM RMW — the per-class fixed costs that sank the first
+    per-class attempt, DESIGN.md) + one shared dynamic fori over the
+    rare boundary-straddling spill windows (~0.15/chunk).
 
     The table stores means RELATIVE to each splat's home-tile origin
     (values in [0, tile_size): the bf16 hi/lo split then carries a
@@ -350,34 +384,33 @@ def _gather_att(
     tox, toy, ts = origin
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     acc = jnp.zeros((chunk, TAB_ROWS), jnp.float32)
-    for r in range(3):
-        lo_r = los[r]
-        nr_r = nrs[r]
-        off_r, end_r = _win_to_scratch(blktab_ref, blk, lo_r)
-        mrow = crow == r  # [chunk, 1]
 
-        def body(w_i, acc, lo_r=lo_r, off_r=off_r, end_r=end_r, mrow=mrow):
-            ids = lo_r + w_i * WINW + lane  # global home rows
-            ok = off_r + w_i * WINW + WINW <= end_r  # cap truncation guard
-            oh = jnp.where(
-                jnp.logical_and(mrow, sid == ids),
-                jnp.where(ok, 1.0, 0.0),
-                0.0,
-            ).astype(jnp.bfloat16)  # [chunk, WINW]
-            start = jnp.clip(off_r + w_i * WINW, 0, cap - WINW)
-            w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
-            return acc + jax.lax.dot_general(
-                oh,
-                w,  # [TAB_ROWS, WINW]
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    def round_(acc, lo_s, w_i, m_cls):
+        ids = lo_s + w_i * WINW + lane  # global home rows
+        off, end = _win_to_scratch(blktab_ref, blk, lo_s)
+        ok = off + w_i * WINW + WINW <= end  # cap truncation guard
+        oh = jnp.where(
+            jnp.logical_and(m_cls, sid == ids),
+            jnp.where(ok, 1.0, 0.0),
+            0.0,
+        ).astype(jnp.bfloat16)  # [chunk, WINW]
+        start = jnp.clip(off + w_i * WINW, 0, cap - WINW)
+        w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
+        return acc + jax.lax.dot_general(
+            oh,
+            w,  # [TAB_ROWS, WINW]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-        # window 0 is straight-line (one window almost always covers a
-        # band row's ~chunk/3 consecutive rows; an empty row yields an
-        # all-zero one-hot); only rare extra windows pay a dynamic loop
-        acc = body(0, acc)
-        acc = jax.lax.fori_loop(1, nr_r, body, acc)
+    for c in range(k_slots):
+        acc = round_(acc, los[c], 0, cls == c)
+
+    def spill(i, acc):
+        lo_s, ci, w_i = _spill_params(i, los, cums)
+        return round_(acc, lo_s, w_i, cls == ci)
+
+    acc = jax.lax.fori_loop(0, cums[-1], spill, acc)
     att = acc[:, 0:ATT_COLS] + acc[:, 16 : 16 + ATT_COLS]
     # per-pair class origin (garbage for invalid pairs — their zero
     # opacity keeps them ineligible regardless)
@@ -389,12 +422,15 @@ def _gather_att(
 
 
 def _scatter_grad(
-    los, nrs, blktab_ref, blk, dcand_ref, sid, crow, datt, chunk, k_slots,
+    los, cums, blktab_ref, blk, dcand_ref, sid, cls, datt, chunk, k_slots,
     dmach, cap,
 ):
-    """Transposed one-hot MXU scatter over per-band-row windows:
-    accumulate datt [chunk, 9] into the band-shaped gradient scratch
-    (hi/lo bf16 split keeps ~16 mantissa bits through the MXU)."""
+    """Transposed one-hot MXU scatter over per-CLASS windows (same round
+    structure as _gather_att): accumulate datt [chunk, 9] into the
+    band-shaped gradient scratch (hi/lo bf16 split keeps ~16 mantissa
+    bits through the MXU). Empty-class rounds RMW an all-zero update
+    into slice 0 — harmless; the rounds are sequential so overlapping
+    slices accumulate correctly."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     dpad = jnp.concatenate(
         [datt, jnp.zeros((chunk, GRAD_ROWS - ATT_COLS), jnp.float32)], axis=1
@@ -405,34 +441,36 @@ def _scatter_grad(
     # MXU call per window instead of two (the MXU pads the output sublane
     # dim regardless, so the halves ride along free), summed after
     dhl = jnp.concatenate([dh, dl], axis=1)  # [chunk, 32] bf16
-    for r in range(3):
-        lo_r = los[r]
-        nr_r = nrs[r]
-        off_r, end_r = _win_to_scratch(blktab_ref, blk, lo_r)
-        mrow = crow == r
 
-        def body(w_i, _, lo_r=lo_r, off_r=off_r, end_r=end_r, mrow=mrow):
-            ids = lo_r + w_i * WINW + lane  # global home rows
-            ok = off_r + w_i * WINW + WINW <= end_r
-            oh = jnp.where(
-                jnp.logical_and(mrow, sid == ids),
-                jnp.where(ok, 1.0, 0.0),
-                0.0,
-            ).astype(jnp.bfloat16)  # [chunk, WINW]
-            u2 = jax.lax.dot_general(
-                dhl,
-                oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [2·GRAD_ROWS, WINW]
-            upd = u2[0:GRAD_ROWS] + u2[GRAD_ROWS:]
-            start = jnp.clip(off_r + w_i * WINW, 0, cap - WINW)
-            sl = pl.ds(pl.multiple_of(start, WINW), WINW)
-            dcand_ref[:, sl] = dcand_ref[:, sl] + upd
-            return 0
+    def round_(lo_s, w_i, m_cls):
+        ids = lo_s + w_i * WINW + lane  # global home rows
+        off, end = _win_to_scratch(blktab_ref, blk, lo_s)
+        ok = off + w_i * WINW + WINW <= end
+        oh = jnp.where(
+            jnp.logical_and(m_cls, sid == ids),
+            jnp.where(ok, 1.0, 0.0),
+            0.0,
+        ).astype(jnp.bfloat16)  # [chunk, WINW]
+        u2 = jax.lax.dot_general(
+            dhl,
+            oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2·GRAD_ROWS, WINW]
+        upd = u2[0:GRAD_ROWS] + u2[GRAD_ROWS:]
+        start = jnp.clip(off + w_i * WINW, 0, cap - WINW)
+        sl = pl.ds(pl.multiple_of(start, WINW), WINW)
+        dcand_ref[:, sl] = dcand_ref[:, sl] + upd
 
-        body(0, 0)  # straight-line common case (see _gather_att)
-        jax.lax.fori_loop(1, nr_r, body, 0)
+    for c in range(k_slots):
+        round_(los[c], 0, cls == c)
+
+    def spill(i, _):
+        lo_s, ci, w_i = _spill_params(i, los, cums)
+        round_(lo_s, w_i, cls == ci)
+        return 0
+
+    jax.lax.fori_loop(0, cums[-1], spill, 0)
 
 
 def _fake_att(sid, origin, chunk):
@@ -530,14 +568,14 @@ def _stream_fwd_kernel(
         def _(k=k, u=u):
             C = out_ref[0, 4:5, :]
             win = starts_ref[tc] + k * chunk
-            sid, crow, cls, los, nrs = _decode_windows(
+            sid, cls, los, cums = _decode_windows(
                 rows_ref, u, win, count, k, chunk, k_slots, srow
             )
             if "gather" in _ABLATE:
                 att = _fake_att(sid, origin, chunk)
             else:
                 att = _gather_att(
-                    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls,
+                    los, cums, blktab_ref, blk, band_ref, sid, cls,
                     chunk, k_slots, dmach, cap, origin,
                 )
 
@@ -748,14 +786,14 @@ def _stream_bwd_kernel(
         @pl.when(live)
         def _(k=k, u=u):
             win = starts_ref[tc] + k * chunk
-            sid, crow, cls, los, nrs = _decode_windows(
+            sid, cls, los, cums = _decode_windows(
                 rows_ref, u, win, count, k, chunk, k_slots, srow
             )
             if "gather" in _ABLATE:
                 att = _fake_att(sid, origin, chunk)
             else:
                 att = _gather_att(
-                    los, nrs, blktab_ref, blk, band_ref, sid, crow, cls,
+                    los, cums, blktab_ref, blk, band_ref, sid, cls,
                     chunk, k_slots, dmach, cap, origin,
                 )
 
@@ -819,7 +857,7 @@ def _stream_bwd_kernel(
 
             if "scatter" not in _ABLATE:
                 _scatter_grad(
-                    los, nrs, blktab_ref, blk, dcand_ref, sid, crow, datt,
+                    los, cums, blktab_ref, blk, dcand_ref, sid, cls, datt,
                     chunk, k_slots, dmach, cap,
                 )
 
