@@ -63,7 +63,7 @@ def main():
     backend = args.backend or ("stream" if jax.default_backend() == "tpu" else "xla")
     try:
         if backend in ("pallas", "stream"):
-            from gsjax.render import pallas_tile  # noqa: F401
+            from gsjax.render import pallas_flat  # noqa: F401
     except ImportError:
         backend = "xla"
 

@@ -16,9 +16,8 @@ Two carries per pixel:
            only), which weights the background and is the output
            transmittance map. They diverge only after termination.
 
-`build_padded_lists` + `blend_padded` are shared with the Pallas backend
-(render/pallas_tile.py): same inputs, same semantics, so the Pallas
-kernel's custom VJP can fall back to autodiff of `blend_padded`.
+`build_padded_lists` + `blend_padded` also serve as the reference
+semantics for the Pallas backends (same inputs, same blend math).
 """
 
 from __future__ import annotations

@@ -11,7 +11,8 @@ Backends:
   oracle — O(N·pixels) pure-jnp ground truth (render/oracle.py)
   xla    — binned, vectorized jnp (render/binning.py + composite.py),
            differentiable by autodiff
-  pallas — fused tile kernels (render/pallas_tile.py), custom VJP
+  pallas — fused slot-stream kernels (render/pallas_flat.py), custom VJP
+  stream — gather-free home-layout kernels (render/pallas_stream.py)
   auto   — pallas on TPU, xla elsewhere
 """
 
@@ -68,11 +69,6 @@ def render(
 
         bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles_flat(p, bins, cam, cfg)
-    elif backend == "pallas_padded":
-        from gsjax.render.pallas_tile import composite_tiles_pallas
-
-        bins = build_tile_bins(p, cam, cfg)
-        img, aux = composite_tiles_pallas(p, bins, cam, cfg)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     img = img[: cam.height, : cam.width]

@@ -82,14 +82,6 @@ def main():
     t, _ = timeit(f_xla, att, counts, bins.ty0, reps=max(1, args.reps // 2))
     print(f"blend (xla)         : {t - floor_ms:8.2f} ms")
 
-    if jax.default_backend() == "tpu":
-        from gsjax.render.pallas_tile import blend_pallas
-
-        f_pal = jax.jit(lambda att, counts, ty0: blend_pallas(att, counts, ty0, tiles_x, band_rows, cfg))
-        t, _ = timeit(f_pal, att, counts, bins.ty0, reps=args.reps)
-        print(f"blend (pallas)      : {t - floor_ms:8.2f} ms")
-
-
 if __name__ == "__main__" and "--slots" not in sys.argv and "--stream" not in sys.argv:
     main()
 
