@@ -119,7 +119,13 @@ def main():
     _, aux = render(g, cam, cfg, return_aux=True)
     ovf = {
         k: int(aux[k])
-        for k in ("n_pair_overflow", "n_band_overflow", "n_tile_overflow")
+        for k in (
+            "n_pair_overflow",
+            "n_band_overflow",
+            "n_tile_overflow",
+            "n_fat_overflow",  # exact-footprint budget (fat-splat split)
+            "n_clamped",  # rect-budget clamp (xla/pallas backends)
+        )
         if k in aux
     }
     novf = sum(ovf.values())

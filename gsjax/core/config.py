@@ -40,6 +40,23 @@ class RenderConfig:
     radius_sigma: float = 3.0
     background: tuple = (0.0, 0.0, 0.0)
     backend: str = "auto"  # oracle | xla | pallas | stream | auto
+    # --- footprint semantics ---
+    # False (default): EXACT graphdeco footprints. The oracle renders the
+    # full radius rect (like the reference's 1024-px axes,
+    # /root/reference/src/renderers/webgl/shaders/vertex.glsl.ts:173-175);
+    # the stream backend covers arbitrary rects by splitting fat splats
+    # into per-3×3-tile-block virtual home rows (render/homesort.py) —
+    # budget overflow is counted in aux n_fat_overflow, never silent.
+    # True: legacy span-budget mode — every backend clamps rects to
+    # tile_span×tile_span centered on the home tile (round-1 semantics).
+    footprint_clamp: bool = False
+    # exact-mode budgets: distinct fat splats per frame, span-tile blocks
+    # enumerated per fat splat, and total extra home rows. None = scale
+    # with the scene (homesort.resolve_fat_caps): caps are static shapes,
+    # so autos derive from N at trace time.
+    fat_splats_cap: int | None = None
+    fat_max_blocks: int = 256
+    fat_cap: int | None = None
     # --- stream backend (render/pallas_stream.py) ---
     # VMEM band-scratch capacity in home-layout rows (the 3-tile-row ×
     # (block+halo)-column candidate window); overflow is truncated and

@@ -47,10 +47,10 @@ def _render_band(g, cam, cfg, ty0, band):
         from gsjax.render.homesort import build_home_layout
         from gsjax.render.pallas_stream import composite_tiles_stream
 
-        g_home, layout = build_home_layout(g, cam, cfg)
-        p = project(g_home, cam, cfg)
+        p = project(g, cam, cfg)
+        p, layout = build_home_layout(p, cam, cfg)
         bins = build_tile_bins(
-            p, cam, cfg, ty0=ty0, band_rows=band, anchor="home"
+            p, cam, cfg, ty0=ty0, band_rows=band, anchor="home", layout=layout
         )
         return composite_tiles_stream(p, layout, bins, cam, cfg)
     p = project(g, cam, cfg)

@@ -33,15 +33,15 @@ import jax.numpy as jnp
 from gsjax.core.camera import Camera
 from gsjax.core.config import RenderConfig
 from gsjax.render.common import (
-    DEPTH_BITS,
     MAX_TILES,
     clamp_rect_to_span,
-    depth_key,
     tile_rect,
 )
 from gsjax.render.project import ProjectedSplats
 
-INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+# invalid pairs sort after every real tile id (i32 max keeps the
+# 3-operand radix sort a plain signed sort)
+INVALID_TILE = jnp.int32(0x7FFFFFFF)
 
 
 @partial(
@@ -84,6 +84,7 @@ def build_tile_bins(
     ty0=None,
     band_rows: int = None,
     anchor: str = "rect",
+    layout=None,
 ) -> TileBins:
     """Bin into the tile rows [ty0, ty0 + band_rows) — the whole image by
     default. `ty0` may be a traced value (each device of a tile-sharded
@@ -93,10 +94,14 @@ def build_tile_bins(
     budget: "rect" anchors slot (0,0) at the clamped rect's corner;
     "home" (odd spans only) anchors the span×span grid centered on the
     splat's home tile, so slot k IS the pair's home-relative class — the
-    property the stream backend's class-segment windows rely on. Both
-    anchors enumerate the SAME (tile, depth) pair set (clamp_rect_to_span
-    guarantees rect ⊆ home-centered window for odd spans), so the sorted
-    streams are bit-identical; only the pid↔slot numbering differs."""
+    property the stream backend's class-segment windows rely on.
+
+    With `layout` (a homesort.HomeLayout, exact-footprint mode) the home
+    anchor uses the layout's per-row home tiles and block∩rect windows:
+    `p` rows are home rows (fat splats appear once per 3×3-tile block)
+    and the merged pair stream equals an UNCLAMPED rect enumeration.
+    Without `layout` (legacy mode) both anchors enumerate the SAME
+    span-clamped (tile, depth) pair set, bit-identically."""
     n = p.depth.shape[0]
     span = cfg.tile_span
     k_slots = span * span
@@ -114,41 +119,51 @@ def build_tile_bins(
             f"packed radix key; increase tile_size"
         )
 
-    x0, y0, x1, y1 = tile_rect(p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size)
-    x0, y0, x1, y1, clamped = clamp_rect_to_span(
-        x0, y0, x1, y1, p.mean2d, cfg.tile_size, span
-    )
-    n_clamped = jnp.sum(clamped & p.valid)
-
-    dkey = depth_key(p.depth)  # [N]
-
     slot = jnp.arange(k_slots, dtype=jnp.int32)
     sx = (slot % span)[None, :]  # [1, K]
     sy = (slot // span)[None, :]
-    if anchor == "home":
+    if anchor == "home" and layout is not None and not cfg.footprint_clamp:
         if span % 2 != 1:
             raise ValueError("anchor='home' requires an odd tile_span")
-        # home tile CLIPPED to the image, matching homesort._home_keys —
-        # the stream kernel routes class c to band run c//span, which is
-        # only correct if the pair's class is relative to the segment the
-        # splat actually lives in (edge splats' homes are edge-clipped)
-        htx = jnp.clip(
-            jnp.floor(p.mean2d[:, 0] / cfg.tile_size).astype(jnp.int32),
-            0,
-            tiles_x - 1,
-        )
-        hty = jnp.clip(
-            jnp.floor(p.mean2d[:, 1] / cfg.tile_size).astype(jnp.int32),
-            0,
-            tiles_y - 1,
-        )
-        txs = (htx - span // 2)[:, None] + sx  # [N, K]
-        tys = (hty - span // 2)[:, None] + sy
-    elif anchor == "rect":
-        txs = x0[:, None] + sx  # [N, K]
-        tys = y0[:, None] + sy
+        # exact mode: window = this home row's block ∩ rect, computed by
+        # homesort (block centers are image-clipped but the window always
+        # stays inside home±span//2, so class decoding holds)
+        x0, x1 = layout.win[:, 0], layout.win[:, 1]
+        y0, y1 = layout.win[:, 2], layout.win[:, 3]
+        txs = (layout.home_x - span // 2)[:, None] + sx  # [N, K]
+        tys = (layout.home_y - span // 2)[:, None] + sy
+        n_clamped = jnp.zeros((), jnp.int32)  # budgets counted in layout
     else:
-        raise ValueError(f"unknown anchor {anchor!r}")
+        x0, y0, x1, y1 = tile_rect(
+            p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size
+        )
+        x0, y0, x1, y1, clamped = clamp_rect_to_span(
+            x0, y0, x1, y1, p.mean2d, cfg.tile_size, span,
+            center_window=cfg.footprint_clamp or anchor == "home",
+        )
+        n_clamped = jnp.sum(clamped & p.valid)
+        if anchor == "home":
+            # legacy span budget: home = the mean's tile, clipped to the
+            # image (matching homesort._legacy_home) — the clamped rect
+            # is ⊆ home±span//2 by construction
+            htx = jnp.clip(
+                jnp.floor(p.mean2d[:, 0] / cfg.tile_size).astype(jnp.int32),
+                0,
+                tiles_x - 1,
+            )
+            hty = jnp.clip(
+                jnp.floor(p.mean2d[:, 1] / cfg.tile_size).astype(jnp.int32),
+                0,
+                tiles_y - 1,
+            )
+            txs = (htx - span // 2)[:, None] + sx  # [N, K]
+            tys = (hty - span // 2)[:, None] + sy
+        elif anchor == "rect":
+            txs = x0[:, None] + sx  # [N, K]
+            tys = y0[:, None] + sy
+        else:
+            raise ValueError(f"unknown anchor {anchor!r}")
+
     pair_ok = (
         p.valid[:, None]
         & (txs >= x0[:, None])
@@ -177,6 +192,11 @@ def build_tile_bins(
     thr = 2.0 * jnp.log(
         jnp.maximum(p.opacity[:, None], cfg.alpha_min) / cfg.alpha_min
     ) + 1e-3  # slack for the kernels' fexp approximation
+    # per-SPLAT reciprocals: VPU divides per PAIR cost ~14 ms/frame at
+    # the 1080p bench (tools/probe_binning.py); ca, cc > 0 for valid
+    # splats (conic of a PSD cov2d with the +0.3 low-pass)
+    neg_cb_rcc = -cb / cc
+    neg_cb_rca = -cb / ca
     tx_lo = txs.astype(jnp.float32) * ts_f
     ty_lo = tys.astype(jnp.float32) * ts_f
     dxl = tx_lo - p.mean2d[:, 0:1]  # left edge offset
@@ -186,11 +206,11 @@ def build_tile_bins(
     inside = (dxl <= 0) & (dxr >= 0) & (dyl <= 0) & (dyr >= 0)
 
     def _edge_x(dx):  # min over the vertical edge at offset dx
-        dy = jnp.clip(-cb * dx / cc, dyl, dyr)
+        dy = jnp.clip(neg_cb_rcc * dx, dyl, dyr)
         return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
 
     def _edge_y(dy):
-        dx = jnp.clip(-cb * dy / ca, dxl, dxr)
+        dx = jnp.clip(neg_cb_rca * dy, dxl, dxr)
         return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
 
     qmin = jnp.minimum(
@@ -199,19 +219,23 @@ def build_tile_bins(
     )
     qmin = jnp.where(inside, 0.0, qmin)
     pair_ok &= qmin <= thr
-    tile = ((tys - ty0) * tiles_x + txs).astype(jnp.uint32)
-    keys = (tile << jnp.uint32(DEPTH_BITS)) | dkey[:, None]
-    keys = jnp.where(pair_ok, keys, INVALID_KEY).reshape(-1)
 
+    # FULL-resolution depth ordering: graphdeco sorts on the raw f32
+    # depth bits (its 64-bit tile|depth key); a truncated key would
+    # swap nearby splats (~1e-3 relative at 19 bits) and diverge from
+    # both graphdeco and the oracle by visible amounts. Depths are
+    # positive (near-culled), so the i32 bit pattern is monotone.
+    # 3-operand radix sort (tile, depth_bits, pid): ties in (tile,
+    # depth) break by ascending pid deterministically.
+    tile_i = ((tys - ty0) * tiles_x + txs).astype(jnp.int32)
+    tile_i = jnp.where(pair_ok, tile_i, INVALID_TILE).reshape(-1)
+    dbits = jnp.asarray(p.depth, jnp.float32).view(jnp.int32)
+    dpair = jnp.broadcast_to(dbits[:, None], (n, k_slots)).reshape(-1)
     pids = jnp.arange(n * k_slots, dtype=jnp.int32)
-
-    # 2-key UNSTABLE sort ≡ stable-by-key (pids are distinct, and stable
-    # sort's tie order is exactly ascending pid); measures ~5% faster
-    k_sorted, pid_sorted = jax.lax.sort(
-        (keys, pids), num_keys=2, is_stable=False
+    tile_of, _, pid_sorted = jax.lax.sort(
+        (tile_i, dpair, pids), num_keys=3, is_stable=False
     )
 
-    tile_of = (k_sorted >> jnp.uint32(DEPTH_BITS)).astype(jnp.int32)
     tile_starts = jnp.searchsorted(
         tile_of, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)

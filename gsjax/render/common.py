@@ -2,26 +2,23 @@
 (oracle / xla / pallas), so that all backends agree bit-closely.
 
 Depth ordering: the reference sorts on a 16-bit normalized depth key
-(/root/reference/wasm/wasm.cpp:16-39); graphdeco sorts on raw f32 depth.
-We sort on the top 19 bits of the positive-f32 bit pattern (monotone in
-depth), which packs together with a 13-bit tile id into one u32 radix key
-— the TPU generalization of the reference's (depth-only) counting-sort key
-to the (tile, depth) key demanded by tile-based rasterization.
+(/root/reference/wasm/wasm.cpp:16-39); graphdeco sorts on the raw f32
+depth bits. We match graphdeco: positive f32 depth bit patterns are
+monotone as signed i32, so every ordering op sorts (tile_id, depth_bits)
+as two i32 radix operands — full depth resolution, no truncation-tie
+divergence from the reference rasterizer.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-DEPTH_BITS = 19
-TILE_BITS = 32 - DEPTH_BITS  # 13 → up to 8192 tiles
-MAX_TILES = (1 << TILE_BITS) - 1  # key with tile == MAX_TILES ⇒ invalid pair
+MAX_TILES = (1 << 30) - 1  # i32 tile ids; INVALID_TILE = i32 max
 
 
-def depth_key(depth: jnp.ndarray) -> jnp.ndarray:
-    """Monotone uint32 key (DEPTH_BITS wide) for positive f32 depths."""
-    bits = jnp.asarray(depth, jnp.float32).view(jnp.uint32)
-    return (bits >> jnp.uint32(32 - DEPTH_BITS)).astype(jnp.uint32)
+def depth_bits(depth: jnp.ndarray) -> jnp.ndarray:
+    """Monotone i32 key for positive f32 depths (the raw bit pattern)."""
+    return jnp.asarray(depth, jnp.float32).view(jnp.int32)
 
 
 def tile_rect(mean2d, radius, tiles_x, tiles_y, tile_size):
@@ -43,21 +40,22 @@ def tile_rect(mean2d, radius, tiles_x, tiles_y, tile_size):
     return x0, y0, x1, y1
 
 
-def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span):
+def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span,
+                       center_window: bool = True):
     """Clamp a tile rect to at most span×span tiles, centered on the
     splat's own (home) tile (the static pair-expansion budget — see
     RenderConfig.tile_span). Returns (x0, y0, x1, y1, clamped_mask).
-    All backends apply the same clamp so they agree exactly; the clamped
-    count is surfaced in RenderAux (no silent caps).
+    Backends applying the same clamp agree exactly; the clamped count is
+    surfaced in RenderAux (no silent caps).
 
-    For ODD spans the rect is additionally intersected with the
-    span-window centered on the home tile, [home - span//2, home + span//2]
-    — the invariant the stream backend's class-segment layout relies on
-    (every pair's tile is one of span² fixed offsets from its splat's
-    home tile). This only trims sub-tile slivers of rects that were
-    already ≥ span wide on that axis (a rect ≤ span wide protrudes
-    beyond the centered window only when the mean sits within
-    (radius − tile_size) of a tile edge)."""
+    With `center_window` (legacy footprint_clamp mode), ODD spans are
+    additionally intersected with the span-window centered on the home
+    tile, [home - span//2, home + span//2] — the invariant the stream
+    backend's class-segment layout relies on. In exact-footprint mode
+    (cfg.footprint_clamp=False) the rect-anchored backends use only the
+    budget clamp (center_window=False): a rect within the span budget is
+    never trimmed, and the stream backend covers arbitrary rects by
+    fat-splat splitting instead (render/homesort.py)."""
     mtx = jnp.floor(mean2d[..., 0] / tile_size).astype(jnp.int32)
     mty = jnp.floor(mean2d[..., 1] / tile_size).astype(jnp.int32)
     clamped = (x1 - x0 > span) | (y1 - y0 > span)
@@ -70,7 +68,7 @@ def clamp_rect_to_span(x0, y0, x1, y1, mean2d, tile_size, span):
 
     x0, x1 = clamp1(x0, x1, mtx)
     y0, y1 = clamp1(y0, y1, mty)
-    if span % 2 == 1:
+    if span % 2 == 1 and center_window:
         h = span // 2
         nx0 = jnp.maximum(x0, mtx - h)
         nx1 = jnp.minimum(x1, mtx + h + 1)

@@ -35,7 +35,6 @@ from gsjax.core.config import RenderConfig
 from gsjax.core.gaussians import Gaussians
 from gsjax.render.common import (
     clamp_rect_to_span,
-    depth_key,
     gaussian_power,
     tile_rect,
 )
@@ -62,17 +61,23 @@ def composite_oracle(
     H, W = cam.height, cam.width
     n = p.depth.shape[0]
 
-    # depth order: truncated-f32 key, stable in original index — identical
-    # to the (tile, depth) radix order of the binned backends within a tile.
-    order = jnp.argsort(depth_key(jnp.where(p.valid, p.depth, jnp.inf)), stable=True)
+    # depth order: full f32 depth, stable in original index — identical
+    # to the (tile, depth_bits, pid) radix order of the binned backends
+    # within a tile (graphdeco's raw-f32-key sort).
+    order = jnp.argsort(jnp.where(p.valid, p.depth, jnp.inf), stable=True)
     ps = jax.tree.map(lambda x: x[order], p)
 
     tiles_x = cfg.tiles_x(W)
     tiles_y = cfg.tiles_y(H)
     x0, y0, x1, y1 = tile_rect(ps.mean2d, ps.radius, tiles_x, tiles_y, cfg.tile_size)
-    x0, y0, x1, y1, _ = clamp_rect_to_span(
-        x0, y0, x1, y1, ps.mean2d, cfg.tile_size, cfg.tile_span
-    )
+    if cfg.footprint_clamp:
+        # legacy span-budget mode: mimic the budgeted backends' clamp so
+        # comparisons are bit-close. In exact mode (the default) the full
+        # rect renders — the TRUE graphdeco semantics (≙ the reference's
+        # 1024-px axis reach, vertex.glsl.ts:173-175).
+        x0, y0, x1, y1, _ = clamp_rect_to_span(
+            x0, y0, x1, y1, ps.mean2d, cfg.tile_size, cfg.tile_span
+        )
 
     px = jnp.arange(W, dtype=jnp.float32)
     py = jnp.arange(H, dtype=jnp.float32)

@@ -1108,8 +1108,9 @@ blend_stream.defvjp(_blend_stream_fwd, _blend_stream_bwd)
 def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
     """Composite the tile band covered by `bins` with the stream kernels.
 
-    `p` must be projected from the HOME-ordered scene (homesort.
-    build_home_layout) and `bins` built with anchor="home"."""
+    `p` must be the HOME-ordered projected splats returned by
+    homesort.build_home_layout, and `bins` built with anchor="home" and
+    the same layout."""
     from gsjax.render.composite import assemble_band, clipped_pair_stream
 
     if cfg.tile_span != 3:
@@ -1121,16 +1122,14 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
         bins.band_rows, cfg,
     )
-    # means stored relative to the (clipped) home-tile origin so the
-    # bf16 hi/lo table error stays ~1e-4 px at any image resolution; the
-    # kernel adds the per-class home origin back (see _gather_att)
+    # means stored relative to each row's HOME-tile origin so the bf16
+    # hi/lo table error stays ~1e-4 px at any image resolution; the
+    # kernel adds the per-class home origin back (see _gather_att). The
+    # home tile comes from the layout (exact mode re-homes rows at block
+    # centers; legacy mode uses the mean's clipped tile).
     ts = float(cfg.tile_size)
-    htx = jnp.clip(
-        jnp.floor(p.mean2d[:, 0] / ts), 0, bins.tiles_x - 1
-    )
-    hty = jnp.clip(
-        jnp.floor(p.mean2d[:, 1] / ts), 0, layout.tiles_y - 1
-    )
+    htx = layout.home_x.astype(jnp.float32)
+    hty = layout.home_y.astype(jnp.float32)
     cols = (
         p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
         p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
@@ -1149,5 +1148,6 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         "n_tile_overflow": jnp.zeros((), jnp.int32),
         "n_pair_overflow": n_dropped,
         "n_band_overflow": n_ovf,
+        "n_fat_overflow": layout.n_fat_overflow,
     }
     return img, aux

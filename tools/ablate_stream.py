@@ -121,9 +121,9 @@ def child():
 def _build(g, cam, cfg, build_home_layout, project, build_tile_bins,
            clipped_pair_stream, packed_pid_windows, band_blocks,
            att_cols_table, _table_pad, jnp):
-    g_home, layout = build_home_layout(g, cam, cfg)
-    p = project(g_home, cam, cfg)
-    bins = build_tile_bins(p, cam, cfg, anchor="home")
+    p = project(g, cam, cfg)
+    p, layout = build_home_layout(p, cam, cfg)
+    bins = build_tile_bins(p, cam, cfg, anchor="home", layout=layout)
     pid, starts, _nd = clipped_pair_stream(bins, cfg)
     pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg)
     blktab, _novf = band_blocks(
@@ -131,8 +131,8 @@ def _build(g, cam, cfg, build_home_layout, project, build_tile_bins,
         bins.band_rows, cfg,
     )
     ts = float(cfg.tile_size)
-    htx = jnp.clip(jnp.floor(p.mean2d[:, 0] / ts), 0, bins.tiles_x - 1)
-    hty = jnp.clip(jnp.floor(p.mean2d[:, 1] / ts), 0, layout.tiles_y - 1)
+    htx = layout.home_x.astype(jnp.float32)
+    hty = layout.home_y.astype(jnp.float32)
     cols = (p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
             p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
             p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2], p.opacity)

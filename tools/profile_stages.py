@@ -202,16 +202,19 @@ def profile_stream():
     g = bonsai_like(n=args.n)
     cam = bench_camera(width=W, height=H)
 
-    f_home = jax.jit(lambda g: build_home_layout(g, cam, cfg))
-    t, (g_home, layout) = timeit(f_home, g, reps=args.reps)
-    print(f"home sort+relayout  : {t:8.2f} ms")
-
     f_proj = jax.jit(lambda g: project(g, cam, cfg))
-    t, p = timeit(f_proj, g_home, reps=args.reps)
+    t, p0 = timeit(f_proj, g, reps=args.reps)
     print(f"project             : {t:8.2f} ms")
 
-    f_bins = jax.jit(lambda p: build_tile_bins(p, cam, cfg, anchor="home"))
-    t, bins = timeit(f_bins, p, reps=args.reps)
+    f_home = jax.jit(lambda p0: build_home_layout(p0, cam, cfg))
+    t, (p, layout) = timeit(f_home, p0, reps=args.reps)
+    print(f"home sort+relayout  : {t:8.2f} ms   "
+          f"fat_ovf={int(layout.n_fat_overflow)}")
+
+    f_bins = jax.jit(
+        lambda p, layout: build_tile_bins(p, cam, cfg, anchor="home", layout=layout)
+    )
+    t, bins = timeit(f_bins, p, layout, reps=args.reps)
     print(f"binning (pair sort) : {t:8.2f} ms   pairs={int(bins.n_pairs)}")
 
     k = cfg.tile_span**2
@@ -228,12 +231,12 @@ def profile_stream():
     print(f"band blocks         : {t:8.2f} ms   ovf={int(novf)}")
 
     ts = float(cfg.tile_size)
-    htx = jnp.clip(jnp.floor(p.mean2d[:, 0] / ts), 0, bins.tiles_x - 1)
-    hty = jnp.clip(jnp.floor(p.mean2d[:, 1] / ts), 0, layout.tiles_y - 1)
+    htx = layout.home_x.astype(jnp.float32)
+    hty = layout.home_y.astype(jnp.float32)
     cols = (p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
             p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
             p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2], p.opacity)
-    n_pad = _table_pad(args.n, cfg)
+    n_pad = _table_pad(int(p.depth.shape[0]), cfg)
     f_tab = jax.jit(lambda cols: att_cols_table(cols, n_pad))
     t, att_tab = timeit(f_tab, cols, reps=args.reps)
     print(f"att table (bf16 hi/lo): {t:6.2f} ms")

@@ -27,7 +27,10 @@ cfg = RenderConfig(backend="xla", background=(0.1, 0.1, 0.15))
 img, aux = render(g2, cam, cfg, return_aux=True)
 img = np.asarray(img)
 print("img", img.shape, "range", img.min(), img.max(),
-      "pairs", int(aux["n_pairs"]), "overflow", int(aux["n_tile_overflow"]))
+      "pairs", int(aux["n_pairs"]), "overflow", int(aux["n_tile_overflow"]),
+      "fat_ovf", int(aux.get("n_fat_overflow", 0)))
+assert int(aux["n_tile_overflow"]) == 0
+assert int(aux.get("n_fat_overflow", 0)) == 0, "fat-split budget overflow"
 
 # orbit trajectory through the public OrbitCamera
 orb = OrbitCamera(radius=6.0, target=(0, 0, 5.5))
@@ -47,6 +50,7 @@ for i, im in enumerate(imgs): write_ppm(f"orbit_{i}.ppm", im)
 cfg_o = RenderConfig(backend="oracle", background=(0.1, 0.1, 0.15))
 img_o = np.asarray(render(g2, cam, cfg_o))
 print("max |xla - oracle| =", float(np.abs(img - img_o).max()))
+assert float(np.abs(img - img_o).max()) < 1e-4, "backend diverged from oracle"
 
 # differentiability at the surface
 import jax.numpy as jnp
