@@ -128,7 +128,17 @@ def load_ply(
             if out is not None:
                 return _assemble(out, format)
         except Exception:
-            pass  # fall back to the numpy parser
+            # Unsupported layouts return None (expected); a raising native
+            # parser is a bug worth surfacing — warn once, then fall back
+            # to the numpy parser so loading still succeeds.
+            import warnings
+
+            warnings.warn(
+                "native PLY parser raised; falling back to the numpy "
+                "parser (set use_native=False to silence)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return _parse_ply_numpy(buf, use_shs=use_shs, format=format)
 
 
