@@ -17,6 +17,7 @@ Public API (capability parity with /root/reference/src/index.ts:1-12):
 """
 
 from gsjax.core.gaussians import Gaussians
+from gsjax.core.banded import BandedGaussians
 from gsjax.core.camera import Camera
 from gsjax.core.config import RenderConfig
 from gsjax.render.pipeline import render
@@ -25,6 +26,7 @@ from gsjax.io.splat import load_splat, save_splat
 from gsjax.io.ply import load_ply
 from gsjax.core import transforms
 from gsjax.camera.orbit import OrbitCamera
+from gsjax.camera import controls
 from gsjax.camera.json_io import camera_from_json, camera_to_json, cameras_from_json
 
 __version__ = "0.1.0"
@@ -39,7 +41,9 @@ __all__ = [
     "save_splat",
     "load_ply",
     "transforms",
+    "BandedGaussians",
     "OrbitCamera",
+    "controls",
     "camera_from_json",
     "camera_to_json",
     "cameras_from_json",

@@ -107,10 +107,13 @@ def load_ply(
     format: str = "",
     quantized: bool = False,
     use_native: bool = True,
-) -> Gaussians:
+    banded: bool = False,
+):
     """Load a 3DGS .ply into a Gaussians pytree
     (≙ PLYLoader.LoadAsync signature url/scene/onProgress/format/useShs/
-    quantized, PLYLoader.ts:30-37)."""
+    quantized, PLYLoader.ts:30-37). With quantized=True and banded=True,
+    returns a BandedGaussians keeping each band group's native SH size
+    (core/banded.py ≙ the reference's bandsIndices partitioning)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
     else:
@@ -119,7 +122,9 @@ def load_ply(
     if quantized:
         from gsjax.io.qply import parse_qply
 
-        return parse_qply(buf, format=format)
+        return parse_qply(buf, format=format, banded=banded)
+    if banded:
+        raise ValueError("banded=True requires quantized=True")
     if use_native:
         try:
             from gsjax.io.native import parse_ply_native

@@ -45,7 +45,19 @@ _SIZES = {
 _SH_STRIDE = {0: 0, 1: 3, 2: 8, 3: 15}
 
 
-def parse_qply(buf: bytes, format: str = "") -> Gaussians:
+def parse_qply(buf: bytes, format: str = "", banded: bool = False):
+    """Parse a quantized-codebook PLY.
+
+    banded=False (default): one zero-padded Gaussians at the max degree
+    present (back-compat). banded=True: a BandedGaussians whose groups
+    keep their NATIVE SH size — a band-0 splat stores 1 coefficient, not
+    16 (≙ the reference's bandsIndices partitioning,
+    PLYLoader.ts:1190-1195; eval branches per band like
+    vertex.glsl.ts:180-189 via core/banded.project_banded)."""
+    return _parse_qply(buf, format=format, banded=banded)
+
+
+def _parse_qply(buf: bytes, format: str = "", banded: bool = False):
     head_raw = buf[: 1024 * 10]
     end_tag = b"end_header\n"
     hi = head_raw.find(end_tag)
@@ -116,10 +128,12 @@ def parse_qply(buf: bytes, format: str = "") -> Gaussians:
         )
         opacity = codebooks["opacity"][rows["opacity"]]
 
-        sh = np.zeros((count, 16, 3), np.float32)
+        # native per-band SH size: K = 1 + stride (no zero padding —
+        # band-0 splats store 12 B of SH, not 192 B)
+        stride = _SH_STRIDE[bands]
+        sh = np.zeros((count, 1 + stride, 3), np.float32)
         for c in range(3):
             sh[:, 0, c] = codebooks["features_dc"][rows[f"f_dc_{c}"]]
-        stride = _SH_STRIDE[bands]
         if stride:
             rest_names = [n for _t, n in props if n.startswith("f_rest_")]
             # file layout channel-major: f_rest_[c·stride + k] is channel
@@ -130,21 +144,21 @@ def parse_qply(buf: bytes, format: str = "") -> Gaussians:
                     sh[:, 1 + k, c] = codebooks[f"features_rest_{k}"][rows[name]]
         out.append((means, log_scales, quats, sh, opacity))
 
-    means = np.concatenate([o[0] for o in out])
-    log_scales = np.concatenate([o[1] for o in out])
-    quats = np.concatenate([o[2] for o in out])
-    sh = np.concatenate([o[3] for o in out])
-    opacity = np.concatenate([o[4] for o in out])
-
+    from gsjax.core.banded import BandedGaussians
     from gsjax.io.ply import _assemble
 
-    return _assemble(
-        {
-            "means": means,
-            "log_scales": log_scales,
-            "quats": quats,
-            "sh": sh,
-            "opacity_logits": opacity,
-        },
-        format,
+    bg = BandedGaussians.from_groups(
+        _assemble(
+            {
+                "means": means,
+                "log_scales": log_scales,
+                "quats": quats,
+                "sh": sh,
+                "opacity_logits": opacity,
+            },
+            format,
+        )
+        for means, log_scales, quats, sh, opacity in out
+        if means.shape[0] > 0
     )
+    return bg if banded else bg.to_gaussians()

@@ -35,6 +35,16 @@ def _resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _project_any(g, cam, cfg):
+    """project() for Gaussians or BandedGaussians (per-band SH groups,
+    core/banded.py — each group evaluates only its own SH degree)."""
+    from gsjax.core.banded import BandedGaussians, project_banded
+
+    if isinstance(g, BandedGaussians):
+        return project_banded(g, cam, cfg)
+    return project(g, cam, cfg)
+
+
 def render(
     g: Gaussians,
     cam: Camera,
@@ -48,17 +58,19 @@ def render(
     hook)."""
     backend = _resolve_backend(cfg)
     if backend == "oracle":
-        if passes:
+        from gsjax.core.banded import BandedGaussians
+
+        if passes or isinstance(g, BandedGaussians):
             from gsjax.render.oracle import composite_oracle
 
-            p = project(g, cam, cfg)
+            p = _project_any(g, cam, cfg)
             for ps in passes:
                 p = ps(p, cam, cfg)
             return composite_oracle(p, cam, cfg, return_aux=return_aux)
         return render_oracle(g, cam, cfg, return_aux=return_aux)
     if backend == "stream":
         return _render_stream(g, cam, cfg, return_aux, passes)
-    p = project(g, cam, cfg)
+    p = _project_any(g, cam, cfg)
     for ps in passes:
         p = ps(p, cam, cfg)
     # exact-footprint mode: all backends render the UNCLAMPED rect by
@@ -98,7 +110,7 @@ def _render_stream(g, cam, cfg, return_aux, passes):
     from gsjax.render.homesort import build_home_layout
     from gsjax.render.pallas_stream import composite_tiles_stream
 
-    p = project(g, cam, cfg)
+    p = _project_any(g, cam, cfg)
     for ps in passes:
         p = ps(p, cam, cfg)
     p, layout = build_home_layout(p, cam, cfg)

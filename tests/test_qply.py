@@ -118,3 +118,73 @@ def test_qply_mixed_degrees_render(rng, default_camera):
 def test_qply_rejects_bad_header():
     with pytest.raises(ValueError):
         load_ply(b"ply\nformat binary_little_endian 1.0\nelement vertex 3\nend_header\n" + b"\0" * 64, quantized=True)
+
+
+def test_qply_banded_native_storage(rng):
+    """banded=True keeps each group's native SH size (no zero padding,
+    ≙ PLYLoader.ts:1190-1195) and matches the padded load exactly."""
+    from gsjax import BandedGaussians
+
+    buf, expected = _build_qply(rng, counts=(40, 4, 3, 6))  # band-0-heavy
+    bg = load_ply(buf, quantized=True, banded=True)
+    assert isinstance(bg, BandedGaussians)
+    assert bg.band_counts == tuple(e["means"].shape[0] for e in expected)
+    ks = tuple(g.sh.shape[1] for g in bg.groups)
+    assert ks == (1, 4, 9, 16)  # native sizes per band
+    # storage actually shrinks vs the padded form (~4x on band-0-heavy)
+    padded_bytes = bg.n * 16 * 3 * 4
+    assert bg.sh_bytes() < padded_bytes / 3
+    # padded view equals the legacy load
+    g_legacy = load_ply(buf, quantized=True)
+    g_pad = bg.to_gaussians()
+    for name in ("means", "log_scales", "quats", "sh", "opacity_logits"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_pad, name)),
+            np.asarray(getattr(g_legacy, name)),
+            atol=0,
+        )
+
+
+def test_banded_render_matches_padded(rng, default_camera):
+    """A banded scene renders identically to its zero-padded equivalent
+    on every backend (the per-degree SH eval is exact, not approximate)."""
+    import dataclasses
+
+    from gsjax import RenderConfig, render
+
+    buf, _ = _build_qply(rng, counts=(8, 8, 8, 8))
+    bg = load_ply(buf, quantized=True, banded=True)
+    bg = dataclasses.replace(
+        bg,
+        groups=tuple(
+            dataclasses.replace(
+                g,
+                means=np.asarray(g.means) * 0.2 + np.array([0, 0, 5.0], np.float32),
+            )
+            for g in bg.groups
+        ),
+    )
+    g_pad = bg.to_gaussians()
+    for backend in ("oracle", "xla", "stream"):
+        cfg = RenderConfig(backend=backend, chunk=32)
+        img_b = np.asarray(render(bg, default_camera, cfg))
+        img_p = np.asarray(render(g_pad, default_camera, cfg))
+        np.testing.assert_allclose(img_b, img_p, atol=1e-6, err_msg=backend)
+    # gradients flow into every group
+    cfg = RenderConfig(backend="xla", chunk=32)
+    grads = jax_grad_groups(bg, default_camera, cfg)
+    for gr in grads.groups:
+        assert np.isfinite(np.asarray(gr.sh)).all()
+        assert np.abs(np.asarray(gr.means)).sum() > 0
+
+
+def jax_grad_groups(bg, cam, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax import render
+
+    def loss(bg):
+        return jnp.sum(render(bg, cam, cfg) ** 2)
+
+    return jax.grad(loss)(bg)
