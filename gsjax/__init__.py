@@ -24,6 +24,7 @@ from gsjax.render.pipeline import render
 from gsjax.render.oracle import render_oracle
 from gsjax.io.splat import load_splat, save_splat
 from gsjax.io.ply import load_ply
+from gsjax.io.stream import load_ply_streamed, load_splat_streamed
 from gsjax.core import transforms
 from gsjax.camera.orbit import OrbitCamera
 from gsjax.camera import controls
@@ -40,6 +41,8 @@ __all__ = [
     "load_splat",
     "save_splat",
     "load_ply",
+    "load_ply_streamed",
+    "load_splat_streamed",
     "transforms",
     "BandedGaussians",
     "OrbitCamera",
