@@ -15,18 +15,36 @@ from gsjax.core.gaussians import Gaussians
 
 
 def bonsai_like(n: int = 1_200_000, seed: int = 0, sh_degree: int = 0) -> Gaussians:
-    """~Bonsai-scale scene: dense central object + sparse surroundings."""
+    """~Bonsai-scale scene: dense central object + sparse surroundings.
+
+    Two statistics are deliberately bounded to match a *trained* capture
+    (the BASELINE workload is bonsai-7k.splat, a converged 3DGS scene):
+      - the surrounding shell stays INSIDE the camera orbit radius (~4):
+        real object captures are photographed from outside the
+        reconstruction and training prunes floaters at the lens, so no
+        splat sits at z ≈ 0 where perspective would blow its footprint
+        onto hundreds of tiles;
+      - the log-normal scale tail is clamped at 0.04 world units:
+        densification in 3DGS training splits oversized gaussians
+        (graphdeco's percent_dense threshold), so converged scenes have
+        no unbounded size tail. Without these bounds the r1 generator
+        put >48 px footprints on HALF the scene (553k fat splats, 2.46M
+        coverage blocks at the bench camera — tools/probe_homesort.py),
+        which no real Bonsai reconstruction exhibits."""
     rng = np.random.default_rng(seed)
     n_core = int(n * 0.8)
     n_bg = n - n_core
     core = rng.normal(0.0, 0.6, (n_core, 3)) * np.array([1.0, 0.8, 1.0])
     bg_dir = rng.normal(size=(n_bg, 3))
     bg_dir /= np.linalg.norm(bg_dir, axis=-1, keepdims=True)
-    bg = bg_dir * rng.uniform(1.5, 6.0, (n_bg, 1))
+    bg = bg_dir * rng.uniform(1.5, 3.4, (n_bg, 1))
     means = np.concatenate([core, bg]).astype(np.float32)
 
-    # log-normal scale distribution: mostly tiny splats, a long tail
-    scales = np.exp(rng.normal(-4.6, 0.8, (n, 3))).astype(np.float32)
+    # log-normal scale distribution: mostly tiny splats, tail clamped
+    # like a converged reconstruction (see docstring)
+    scales = np.minimum(
+        np.exp(rng.normal(-4.6, 0.8, (n, 3))), 0.04
+    ).astype(np.float32)
     q = rng.normal(size=(n, 4)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     opac = rng.beta(2.0, 2.0, n).astype(np.float32) * 0.98 + 0.01

@@ -50,13 +50,16 @@ class RenderConfig:
     # True: legacy span-budget mode — every backend clamps rects to
     # tile_span×tile_span centered on the home tile (round-1 semantics).
     footprint_clamp: bool = False
-    # exact-mode budgets: distinct fat splats per frame, span-tile blocks
-    # enumerated per fat splat, and total extra home rows. None = scale
-    # with the scene (homesort.resolve_fat_caps): caps are static shapes,
-    # so autos derive from N at trace time.
-    fat_splats_cap: int | None = None
+    # exact-mode budgets: span-tile blocks enumerated per fat splat
+    # (fat_max_blocks), total copy-enumeration slots (fat_cap, pre
+    # block-cull), and copy rows kept in the sorted layout
+    # (fat_live_cap, post-cull). None = scale with the scene
+    # (homesort.resolve_fat_caps): caps are static shapes, so autos
+    # derive from N at trace time. Overflow counts in aux
+    # n_fat_overflow.
     fat_max_blocks: int = 256
     fat_cap: int | None = None
+    fat_live_cap: int | None = None
     # --- stream backend (render/pallas_stream.py) ---
     # VMEM band-scratch capacity in home-layout rows (the 3-tile-row ×
     # (block+halo)-column candidate window); overflow is truncated and

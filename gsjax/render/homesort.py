@@ -17,21 +17,26 @@ splats out ONCE per frame in (home_tile, depth) order:
     windowed to block ∩ rect. The blocks partition the rect, so the
     merged (tile, depth) pair stream is identical to an unclamped
     enumeration and compositing is exact (≙ the reference's up-to-1024-px
-    screen axes, vertex.glsl.ts:173-175 — the budget clamp of round 1 is
-    gone). Budget overflow (fat_splats_cap / fat_max_blocks / fat_cap)
-    is truncated far-blocks-first and counted, never silent.
+    screen axes, vertex.glsl.ts:173-175). Copy blocks whose window the
+    splat's ellipse cannot reach at alpha_min are culled at enumeration
+    (exactly the per-tile cull binning applies — a dead block contributes
+    zero pairs, so the output is bit-identical). Budget overflow
+    (fat_max_blocks / fat_cap / fat_live_cap) is counted, never silent.
   * LEGACY span budget (cfg.footprint_clamp=True): home = the splat's
-    mean tile, rects clamped to tile_span×tile_span (round-1 semantics,
-    kept for the budgeted mode and the anchor-equivalence property).
-  * gradients flow back the same way: the kernel accumulates per-row
-    gradients into the home layout and one inverse-permutation row
-    gather (plus a fat_cap-row scatter-add summing copy rows onto their
-    parents) returns them to the caller's splat order — never a full
-    scatter.
+    mean tile, rects clamped to tile_span×tile_span (round-1 semantics).
+  * gradients: the kernel accumulates per-home-row gradients; one
+    inverse-permutation row gather returns primaries to the caller's
+    splat order, and copy-row gradients reduce onto their parents by a
+    contiguous-segment sum (copies of one parent are consecutive
+    enumeration slots) — never a large scatter-add.
 
-Sorting PROJECTED splats (11 f32 columns) instead of raw parameters
-(59 columns with SH) keeps the relayout gather small; projection runs
-once, in the caller's splat order, and copies are row-repeats.
+Copy enumeration is RAGGED: copy slot j finds its parent with a
+marks + cumsum rank (one pass over the flat budget), replacing round 1's
+dense [fat_splats_cap, fat_max_blocks] scatter grid that cost 51 ms of
+frame time at the 1080p bench (tools/probe_homesort.py). Parent
+attributes arrive via ONE merged row gather (i32 columns ride as
+bitcast f32) — row gathers are priced per ROW (~6 ns) regardless of
+width, so column merging is the whole game.
 
 This generalizes the reference's single global depth sort
 (/root/reference/wasm/wasm.cpp:33-51) into the (home tile, depth) order
@@ -54,40 +59,53 @@ from gsjax.render.project import ProjectedSplats
 PCOLS = 11  # mean2d(2) + depth(1) + conic(3) + radius(1) + rgb(3) + opacity(1)
 
 
+# --------------------------------------------------------------------------
+# differentiable home gather with cheap transpose
+# --------------------------------------------------------------------------
+
+
 @partial(jax.custom_vjp, nondiff_argnums=())
-def permute_split(x, src, inv, inv_tail, tail_parent):
-    """x[src] with a gather-for-gather VJP. `src` maps home rows to
-    original splat ids (the fat-splat tail repeats parents); the
-    cotangent is the inverse gather over the N primary rows plus a
-    fat_cap-row scatter-add of the copy rows onto their parents —
-    XLA's generic gather transpose would scatter-add ALL rows
-    (~100 ns/row, microbench_mem.py)."""
-    return x[src]
+def home_gather(x, tail_x, perm, inv, inv_tail, seg_base):
+    """concat(x [N,C], tail_x [F,C])[perm] with a cheap VJP.
+
+    `tail_x` holds the fat-splat copy rows (each a function of its
+    parent's row of `x` — here always an exact copy, so its cotangent
+    sums onto the parent). `inv` [N] / `inv_tail` [F]: each pre-sort
+    row's position in the OUTPUT (≥ len(perm) ⇒ truncated ⇒ zero grad).
+    `seg_base` [N+1]: copies of parent i occupy tail slots
+    [seg_base[i], seg_base[i+1]) — contiguous, so the parent reduction
+    is a cumsum + boundary-difference instead of a scatter-add (XLA's
+    gather transpose scatter-adds at 100+ ns/row)."""
+    return jnp.concatenate([x, tail_x])[perm]
 
 
-def _psplit_fwd(x, src, inv, inv_tail, tail_parent):
-    return x[src], (inv, inv_tail, tail_parent)
+def _home_gather_fwd(x, tail_x, perm, inv, inv_tail, seg_base):
+    out = home_gather(x, tail_x, perm, inv, inv_tail, seg_base)
+    return out, (x.shape[0], tail_x.shape[0], inv, inv_tail, seg_base)
 
 
-def _psplit_bwd(res, d):
-    inv, inv_tail, tail_parent = res
-    dx = d[inv]  # primary rows, bijective
-    if inv_tail.shape[0]:
-        dx = dx.at[tail_parent].add(d[inv_tail])
-    return (dx, None, None, None, None)
+def _home_gather_bwd(res, d):
+    n, f, inv, inv_tail, seg_base = res
+    nh = d.shape[0]
+    dpad = jnp.concatenate([d, jnp.zeros((1,) + d.shape[1:], d.dtype)])
+    take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
+    dx = take(inv)  # primary rows, bijective into the kept window
+    if f:
+        d_tail = take(inv_tail)  # [F, C] copy-row grads, parent-contiguous
+        s = jnp.cumsum(d_tail, axis=0, dtype=jnp.float32)
+        s = jnp.concatenate([jnp.zeros((1,) + d.shape[1:], jnp.float32), s])
+        seg = s[jnp.minimum(seg_base, f)]  # [N+1, C]
+        dx = dx + (seg[1:] - seg[:-1]).astype(d.dtype)
+    return (dx, None, None, None, None, None)
 
 
-permute_split.defvjp(_psplit_fwd, _psplit_bwd)
+home_gather.defvjp(_home_gather_fwd, _home_gather_bwd)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "perm",
-        "src",
-        "inv",
-        "inv_tail",
-        "tail_parent",
         "seg_starts",
         "home_x",
         "home_y",
@@ -100,21 +118,15 @@ permute_split.defvjp(_psplit_fwd, _psplit_bwd)
 @dataclasses.dataclass(frozen=True)
 class HomeLayout:
     """perm [NH] i32: home row i holds pre-sort entry perm[i] (entries
-    ≥ N are fat-splat copies); src [NH]: original splat id per home row;
-    inv [N]: original splat j's primary home row; inv_tail [fat_cap]:
-    home row of copy slot j; tail_parent [fat_cap]: its parent;
-    seg_starts [T+2]: home rows of tile t are [seg_starts[t],
-    seg_starts[t+1]) (segment T holds culled rows); home_x/home_y [NH]:
-    home tile coords per row; win [NH, 4] i32 (wx0, wx1, wy0, wy1):
-    the row's tile window = its block ∩ rect (exact mode) — binning
-    enumerates pairs strictly inside it; n_fat_overflow: footprint tiles
-    lost to the fat budgets (0 ⇒ the frame is exactly unclamped)."""
+    ≥ N are fat-splat copies); seg_starts [T+2]: home rows of tile t are
+    [seg_starts[t], seg_starts[t+1]) (segment T holds culled rows);
+    home_x/home_y [NH]: home tile coords per row; win [NH, 4] i32
+    (wx0, wx1, wy0, wy1): the row's tile window = its block ∩ rect
+    (exact mode) — binning enumerates pairs strictly inside it;
+    n_fat_overflow: footprint blocks/rows lost to the fat budgets
+    (0 ⇒ the frame is exactly unclamped)."""
 
     perm: jax.Array
-    src: jax.Array
-    inv: jax.Array
-    inv_tail: jax.Array
-    tail_parent: jax.Array
     seg_starts: jax.Array
     home_x: jax.Array
     home_y: jax.Array
@@ -126,16 +138,17 @@ class HomeLayout:
 
 
 def resolve_fat_caps(n: int, cfg: RenderConfig):
-    """Static fat-split budgets. None-configured caps scale with the
-    scene: plenty for realistic footprint distributions (overflow is
-    counted either way), without padding tiny test scenes to huge NH."""
-    fsc = cfg.fat_splats_cap
-    if fsc is None:
-        fsc = min(8192, max(256, n // 16))
+    """Static fat-split budgets: (fat_cap, live_cap). fat_cap bounds the
+    copy ENUMERATION (pre block-cull); live_cap bounds the copy rows kept
+    in the sorted layout (post-cull). None-configured caps scale with the
+    scene; overflow is counted either way."""
     fat_cap = cfg.fat_cap
     if fat_cap is None:
-        fat_cap = min(131072, max(1024, n // 4))
-    return fsc, fat_cap
+        fat_cap = min(4_194_304, max(1024, 2 * n))
+    live_cap = cfg.fat_live_cap
+    if live_cap is None:
+        live_cap = min(2_097_152, max(1024, n))
+    return fat_cap, min(live_cap, fat_cap)
 
 
 def _legacy_home(p, tiles_x, tiles_y, cfg):
@@ -158,15 +171,49 @@ def _legacy_home(p, tiles_x, tiles_y, cfg):
         & (my >= -cfg.tile_size * 2)
         & (my < tiles_y * cfg.tile_size + cfg.tile_size * 2)
     )
-    # window sentinel: legacy binning recomputes the clamped rect itself
-    win = jnp.zeros((p.depth.shape[0], 4), jnp.int32)
-    return htx, hty, on, win, jnp.zeros((), jnp.int32)
+    return htx, hty, on
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _block_qmin(mx, my, ca, cb, cc, wx0, wx1, wy0, wy1, ts: float):
+    """min of the conic quadratic over the window's pixel rect
+    [wx0·ts, wx1·ts − 1] × [wy0·ts, wy1·ts − 1] — the same closed form as
+    binning's exact per-tile ellipse cull (render/binning.py), applied at
+    block granularity."""
+    dxl = wx0.astype(jnp.float32) * ts - mx
+    dxr = wx1.astype(jnp.float32) * ts - 1.0 - mx
+    dyl = wy0.astype(jnp.float32) * ts - my
+    dyr = wy1.astype(jnp.float32) * ts - 1.0 - my
+    inside = (dxl <= 0) & (dxr >= 0) & (dyl <= 0) & (dyr >= 0)
+    neg_cb_rcc = -cb / cc
+    neg_cb_rca = -cb / ca
+
+    def _edge_x(dx):
+        dy = jnp.clip(neg_cb_rcc * dx, dyl, dyr)
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def _edge_y(dy):
+        dx = jnp.clip(neg_cb_rca * dy, dxl, dxr)
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    qmin = jnp.minimum(
+        jnp.minimum(_edge_x(dxl), _edge_x(dxr)),
+        jnp.minimum(_edge_y(dyl), _edge_y(dyr)),
+    )
+    return jnp.where(inside, 0.0, qmin)
 
 
 def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
     """Sort the PROJECTED scene by (home tile, depth), splitting fat
     splats into per-block copies in exact mode. Returns
-    (p_home: ProjectedSplats [NH], HomeLayout); NH = N + cfg.fat_cap
+    (p_home: ProjectedSplats [NH], HomeLayout); NH = N + live_cap
     (exact mode) or N (legacy). All key/geometry math runs under
     stop_gradient — the permutation is order information."""
     n = p.depth.shape[0]
@@ -178,24 +225,33 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         sg(p.mean2d), sg(p.radius), sg(p.depth), p.valid,
     )
     t_sent = jnp.int32(tiles_x * tiles_y)
+    h = span // 2
 
     if cfg.footprint_clamp:
-        htx, hty, on, win, n_ovf = _legacy_home(p, tiles_x, tiles_y, cfg)
+        htx, hty, on = _legacy_home(p, tiles_x, tiles_y, cfg)
         home_key = jnp.where(on, hty * tiles_x + htx, t_sent)
         dkey = depth_bits(jnp.where(valid, depth, 1.0))
-        src_pre = jnp.arange(n, dtype=jnp.int32)
+        nt = n
+        nh = n
         fat_cap = 0
-        tail_parent = jnp.zeros((0,), jnp.int32)
-        home_pre_x, home_pre_y, win_pre = htx, hty, win
+        parent = jnp.zeros((0,), jnp.int32)
+        seg_base = jnp.zeros((n + 1,), jnp.int32)
+        win_n = jnp.zeros((n, 4), jnp.int32)  # sentinel: binning reclamps
+        win_tail = jnp.zeros((0, 4), jnp.int32)
+        hx_pre = htx
+        hy_pre = hty
+        on_ext = on
+        n_ovf = jnp.zeros((), jnp.int32)
     else:
         x0, y0, x1, y1 = tile_rect(mean2d, radius, tiles_x, tiles_y, cfg.tile_size)
         on = valid & (x1 > x0) & (y1 > y0)
-        nbx = -(-(x1 - x0) // span)  # blocks per axis (≥1 when on)
-        nby = -(-(y1 - y0) // span)
-        n_blocks = jnp.where(on, nbx * nby, 1)
+        sbx = -(-(x1 - x0) // span)  # blocks per axis (≥1 when on)
+        sby = -(-(y1 - y0) // span)
+        maxb = cfg.fat_max_blocks
+        nb_full = jnp.where(on, sbx * sby, 1)
+        n_blocks = jnp.minimum(nb_full, maxb)
         # primary row = block (0, 0); home = block center, clipped into
-        # the image (the window below still ⊆ home±1 after the clip)
-        h = span // 2
+        # the image (the window stays ⊆ home±1 after the clip)
         phx = jnp.minimum(x0 + h, tiles_x - 1)
         phy = jnp.minimum(y0 + h, tiles_y - 1)
         pwin = jnp.stack(
@@ -203,109 +259,119 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
             axis=-1,
         )
 
-        # fat splats: compact ids, enumerate extra blocks, place copies
-        fsc, fat_cap = resolve_fat_caps(n, cfg)
-        maxb = cfg.fat_max_blocks
-        is_fat = on & (n_blocks > 1)
+        fat_cap, live_cap = resolve_fat_caps(n, cfg)
+        n_ex = n_blocks - 1  # extra blocks per splat (0 for thin/off)
+        is_fat = on & (n_ex > 0)
+        n_ex = jnp.where(is_fat, n_ex, 0)
+        base = jnp.cumsum(n_ex) - n_ex  # copy slots [base, base+n_ex)
+        n_copies = base[-1] + n_ex[-1]
+        seg_base = jnp.minimum(
+            jnp.concatenate([base, (base[-1] + n_ex[-1])[None]]), fat_cap
+        ).astype(jnp.int32)
+
+        # ragged parent resolution: rank r of slot j = #fat parents with
+        # base ≤ j (marks + cumsum); prank[rank] = parent splat id
+        marks = (
+            jnp.zeros((fat_cap + 1,), jnp.int32)
+            .at[jnp.where(is_fat, base, fat_cap)]
+            .add(1, mode="drop")
+        )
+        r = jnp.cumsum(marks[:fat_cap]) - 1  # [F]
         fat_rank = jnp.cumsum(is_fat.astype(jnp.int32)) - 1
-        slot = jnp.where(is_fat & (fat_rank < fsc), fat_rank, fsc)
-        fat_id = (
-            jnp.full((fsc + 1,), n, jnp.int32)
-            .at[slot]
+        prank = (
+            jnp.zeros((fat_cap + 1,), jnp.int32)
+            .at[jnp.where(is_fat & (base < fat_cap), fat_rank, fat_cap)]
             .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        )[:fsc]
-        fat_ok = fat_id < n
-        fid = jnp.minimum(fat_id, n - 1)
-        fx0, fy0 = x0[fid], y0[fid]
-        fx1, fy1 = x1[fid], y1[fid]
-        fnbx = nbx[fid]
-        fnb = jnp.where(fat_ok, n_blocks[fid], 1)
-        fnb_cap = jnp.minimum(fnb, maxb)
-        # copies base offsets into the tail (block 0 stays the primary)
-        n_ex = fnb_cap - 1
-        base = jnp.cumsum(n_ex) - n_ex  # [FSC]
-        b = jnp.arange(1, maxb, dtype=jnp.int32)[None, :]  # [1, MAXB-1]
-        keep = fat_ok[:, None] & (b < fnb_cap[:, None])
-        dest = jnp.where(keep, base[:, None] + b - 1, fat_cap)  # drop pad
-        bx = b % fnbx[:, None]
-        by = b // fnbx[:, None]
-        chx = jnp.minimum(fx0[:, None] + span * bx + h, tiles_x - 1)
-        chy = jnp.minimum(fy0[:, None] + span * by + h, tiles_y - 1)
-        cw = jnp.stack(
+        )
+        parent = prank[jnp.clip(r, 0, fat_cap - 1)]  # [F] splat ids
+
+        # ONE merged parent-row gather: i32 columns ride as bitcast f32
+        pcols = jnp.concatenate(
             [
-                fx0[:, None] + span * bx,
-                jnp.minimum(fx0[:, None] + span * bx + span, fx1[:, None]),
-                fy0[:, None] + span * by,
-                jnp.minimum(fy0[:, None] + span * by + span, fy1[:, None]),
+                _i2f(jnp.stack([base, sbx, x0, y0, x1, y1], axis=-1)),
+                mean2d,
+                p.conic,
+                p.opacity[:, None],
+                depth[:, None],
             ],
             axis=-1,
-        )  # [FSC, MAXB-1, 4]
-
-        tail_parent = (
-            jnp.zeros((fat_cap + 1,), jnp.int32)
-            .at[dest]
-            .set(jnp.broadcast_to(fid[:, None], dest.shape), mode="drop")
-        )[:fat_cap]
-        tail_hx = (
-            jnp.zeros((fat_cap + 1,), jnp.int32).at[dest].set(chx, mode="drop")
-        )[:fat_cap]
-        tail_hy = (
-            jnp.zeros((fat_cap + 1,), jnp.int32).at[dest].set(chy, mode="drop")
-        )[:fat_cap]
-        tail_win = (
-            jnp.zeros((fat_cap + 1, 4), jnp.int32)
-            .at[dest]
-            .set(cw, mode="drop")
-        )[:fat_cap]
-        n_copies = jnp.sum(jnp.where(fat_ok, n_ex, 0))
+        )  # [N, 13]
+        pg = sg(pcols)[parent]  # [F, 13]
+        gi = _f2i(pg[:, 0:6])
+        gbase, gsbx = gi[:, 0], jnp.maximum(gi[:, 1], 1)
+        gx0, gy0, gx1, gy1 = gi[:, 2], gi[:, 3], gi[:, 4], gi[:, 5]
         lanes = jnp.arange(fat_cap, dtype=jnp.int32)
-        tail_ok = lanes < n_copies
-        # overflow: blocks beyond fat_max_blocks, splats beyond
-        # fat_splats_cap (their extra blocks), copies beyond fat_cap
+        b = lanes - gbase + 1  # copy's block index (1..nb-1)
+        bx = b % gsbx
+        by = b // gsbx
+        cwx0 = gx0 + span * bx
+        cwx1 = jnp.minimum(cwx0 + span, gx1)
+        cwy0 = gy0 + span * by
+        cwy1 = jnp.minimum(cwy0 + span, gy1)
+        chx = jnp.minimum(cwx0 + h, tiles_x - 1)
+        chy = jnp.minimum(cwy0 + h, tiles_y - 1)
+
+        # exact block-level ellipse cull: a block whose window can never
+        # reach alpha_min produces zero pairs — drop the copy row now
+        # (sorts to the sentinel segment; the pair stream is unchanged)
+        gmx, gmy = pg[:, 6], pg[:, 7]
+        gca, gcb, gcc = pg[:, 8], pg[:, 9], pg[:, 10]
+        gop, gdepth = pg[:, 11], pg[:, 12]
+        thr = 2.0 * jnp.log(
+            jnp.maximum(gop, cfg.alpha_min) / cfg.alpha_min
+        ) + 1e-3
+        qmin = _block_qmin(
+            gmx, gmy, gca, gcb, gcc, cwx0, cwx1, cwy0, cwy1,
+            float(cfg.tile_size),
+        )
+        tail_ok = (lanes < jnp.minimum(n_copies, fat_cap)) & (qmin <= thr)
+
+        win_n = pwin
+        win_tail = jnp.stack([cwx0, cwx1, cwy0, cwy1], axis=-1)
+        hx_pre = jnp.concatenate([phx, chx])
+        hy_pre = jnp.concatenate([phy, chy])
+        on_ext = jnp.concatenate([on, tail_ok])
+        depth_ext = jnp.concatenate(
+            [depth, jnp.where(tail_ok, gdepth, 1.0)]
+        )
+        home_key = jnp.where(
+            on_ext, hy_pre * tiles_x + hx_pre, t_sent
+        )
+        dkey = depth_bits(depth_ext)
+        nt = n + fat_cap
+        nh = n + live_cap
+        # overflow: blocks beyond fat_max_blocks + copies beyond fat_cap
+        # (live-row truncation beyond nh is added after the sort)
         n_ovf = (
-            jnp.sum(jnp.where(fat_ok, fnb - fnb_cap, 0))
-            + jnp.sum(
-                jnp.where(is_fat & (fat_rank >= fsc), n_blocks - 1, 0)
-            )
+            jnp.sum(jnp.where(on, nb_full - n_blocks, 0))
             + jnp.maximum(n_copies - fat_cap, 0)
         ).astype(jnp.int32)
 
-        home_pre_x = jnp.concatenate([phx, tail_hx])
-        home_pre_y = jnp.concatenate([phy, tail_hy])
-        win_pre = jnp.concatenate([pwin, tail_win], axis=0)
-        on_ext = jnp.concatenate([on, tail_ok])
-        depth_ext = jnp.concatenate(
-            [depth, jnp.where(tail_ok, depth[tail_parent], 1.0)]
-        )
-        home_key = jnp.where(
-            on_ext, home_pre_y * tiles_x + home_pre_x, t_sent
-        )
-        dkey = depth_bits(depth_ext)
-        src_pre = jnp.concatenate(
-            [jnp.arange(n, dtype=jnp.int32), tail_parent]
-        )
-        on = on_ext
-
-    nh = home_key.shape[0]
     # full f32 depth resolution (graphdeco semantics): 3-operand radix
     # sort (home, depth_bits, idx); idx as a third KEY makes tie order
     # ascending-index deterministically
-    home_sorted, _, perm = jax.lax.sort(
-        (home_key, dkey, jnp.arange(nh, dtype=jnp.int32)),
+    home_sorted, _, perm_full = jax.lax.sort(
+        (home_key, dkey, jnp.arange(nt, dtype=jnp.int32)),
         num_keys=3,
         is_stable=False,
     )
     _, inv_ext = jax.lax.sort(
-        (perm, jnp.arange(nh, dtype=jnp.int32)), num_keys=2, is_stable=False
+        (perm_full, jnp.arange(nt, dtype=jnp.int32)),
+        num_keys=2,
+        is_stable=False,
     )
+    perm = perm_full[:nh]
+    home_sorted = home_sorted[:nh]
+    n_live = jnp.sum(on_ext.astype(jnp.int32))
+    n_ovf = n_ovf + jnp.maximum(n_live - nh, 0)
+
     seg_starts = jnp.searchsorted(
         home_sorted,
         jnp.arange(tiles_x * tiles_y + 2, dtype=jnp.int32),
         side="left",
     ).astype(jnp.int32)
 
-    src = src_pre[perm]
-    packed = jnp.concatenate(
+    packed_n = jnp.concatenate(
         [
             p.mean2d,
             p.depth[:, None],
@@ -315,10 +381,22 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
             p.opacity[:, None],
         ],
         axis=-1,
+    )  # [N, 11]
+    # tail rows = parent attribute copies + per-copy windows, built under
+    # stop_gradient: the parent GRADIENT flows through home_gather's
+    # contiguous-segment sum onto packed_n, so this gather must not get
+    # XLA's scatter-add transpose
+    if cfg.footprint_clamp:
+        tail_full = jnp.zeros((0, PCOLS + 4), packed_n.dtype)
+    else:
+        tail_full = sg(
+            jnp.concatenate([packed_n[parent], _i2f(win_tail)], axis=-1)
+        )
+    full_n = jnp.concatenate([packed_n, _i2f(win_n)], axis=-1)
+    ph = home_gather(
+        full_n, tail_full, perm, inv_ext[:n], inv_ext[n:], seg_base
     )
-    ph = permute_split(
-        packed, src, inv_ext[:n], inv_ext[n:], tail_parent
-    )
+    win = _f2i(ph[:, PCOLS : PCOLS + 4])
     hs = jnp.minimum(home_sorted, t_sent - 1)
     p_home = ProjectedSplats(
         mean2d=ph[:, 0:2],
@@ -327,19 +405,15 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         radius=ph[:, 6],
         rgb=ph[:, 7:10],
         opacity=ph[:, 10],
-        valid=on[perm],
+        valid=on_ext[perm],
     )
     layout = HomeLayout(
         perm=perm,
-        src=src,
-        inv=inv_ext[:n],
-        inv_tail=inv_ext[n:],
-        tail_parent=tail_parent,
         seg_starts=seg_starts,
         home_x=hs % tiles_x,
         home_y=hs // tiles_x,
-        win=win_pre[perm],
-        n_valid=jnp.sum(on.astype(jnp.int32)),
+        win=win,
+        n_valid=jnp.sum(on_ext.astype(jnp.int32)),
         n_fat_overflow=jnp.asarray(n_ovf, jnp.int32),
         tiles_x=tiles_x,
         tiles_y=tiles_y,

@@ -230,7 +230,7 @@ BACKENDS = {
     "stream": RenderConfig(
         backend="stream", chunk=32, stream_band_cap=4096,
         stream_block_tiles=3, stream_dma_chunk=256,
-        fat_splats_cap=64, fat_max_blocks=64, fat_cap=512),
+        fat_max_blocks=64, fat_cap=512),
 }
 
 

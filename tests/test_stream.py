@@ -71,7 +71,7 @@ def test_stream_forward_fat_splats_exact(rng):
     cam = _cams(96, 64)
     _, cfg_s = _cfgs()
     cfg_s = dataclasses.replace(
-        cfg_s, fat_splats_cap=256, fat_max_blocks=64, fat_cap=2048
+        cfg_s, fat_max_blocks=64, fat_cap=2048
     )
     s, aux = render(g, cam, cfg_s, return_aux=True)
     assert int(aux["n_fat_overflow"]) == 0
@@ -111,7 +111,7 @@ def test_fat_splat_1024px_reach(rng):
     cam = _cams(96, 64)
     _, cfg_s = _cfgs()
     cfg_s = dataclasses.replace(
-        cfg_s, fat_splats_cap=16, fat_max_blocks=256, fat_cap=512
+        cfg_s, fat_max_blocks=256, fat_cap=512
     )
     s, aux = render(g, cam, cfg_s, return_aux=True)
     assert int(aux["n_fat_overflow"]) == 0
@@ -126,7 +126,7 @@ def test_fat_overflow_is_counted(rng):
     cam = _cams(96, 64)
     _, cfg_s = _cfgs()
     cfg_s = dataclasses.replace(
-        cfg_s, fat_splats_cap=2, fat_max_blocks=4, fat_cap=8
+        cfg_s, fat_max_blocks=4, fat_cap=8, fat_live_cap=8
     )
     _, aux = render(g, cam, cfg_s, return_aux=True)
     assert int(aux["n_fat_overflow"]) > 0
