@@ -46,10 +46,10 @@ def main():
     ap.add_argument(
         "--pair-cap",
         type=int,
-        default=8_000_000,
+        default=11_000_000,
         help="static pair budget (0 = uncapped). The kernel grid scales "
         "with it; overflow is counted in aux and must be 0 for an honest "
-        "run (the bench scene peaks at ~6.3M pairs)",
+        "run (the bench scene peaks at ~9.3M exact unclamped pairs)",
     )
     args = ap.parse_args()
 

@@ -67,7 +67,9 @@ class RenderConfig:
     stream_band_cap: int = 49152
     # tiles per band column-block (plus 1 halo tile each side); smaller
     # blocks bound the dense-center worst case under stream_band_cap
-    stream_block_tiles: int = 8
+    # (exact-mode NH at the 1080p bench: worst 3-row band extent is
+    # 57.3k rows at width 8, 44.0k at width 6 — width 6 fits the cap)
+    stream_block_tiles: int = 6
     # lanes per band DMA chunk (multiple of 128)
     stream_dma_chunk: int = 4096
     # slot-group size: each stream-kernel grid step processes this many

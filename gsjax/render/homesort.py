@@ -34,8 +34,8 @@ Copy enumeration is RAGGED: copy slot j finds its parent with a
 marks + cumsum rank (one pass over the flat budget), replacing round 1's
 dense [fat_splats_cap, fat_max_blocks] scatter grid that cost 51 ms of
 frame time at the 1080p bench (tools/probe_homesort.py). Parent
-attributes arrive via ONE merged row gather (i32 columns ride as
-bitcast f32) — row gathers are priced per ROW (~6 ns) regardless of
+attributes arrive via ONE merged row gather (i32 columns ride as exact
+f32 values) — row gathers are priced per ROW (~6 ns) regardless of
 width, so column merging is the whole game.
 
 This generalizes the reference's single global depth sort
@@ -147,7 +147,7 @@ def resolve_fat_caps(n: int, cfg: RenderConfig):
         fat_cap = min(4_194_304, max(1024, 2 * n))
     live_cap = cfg.fat_live_cap
     if live_cap is None:
-        live_cap = min(2_097_152, max(1024, n))
+        live_cap = min(2_097_152, max(1024, n + n // 4))
     return fat_cap, min(live_cap, fat_cap)
 
 
@@ -175,11 +175,16 @@ def _legacy_home(p, tiles_x, tiles_y, cfg):
 
 
 def _i2f(x):
-    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    """Integer columns ride row gathers as f32 VALUES (exact below 2^24,
+    which every tile/block/slot index here satisfies). NOT a bitcast:
+    small-int bit patterns are denormal floats, and the TPU flushes
+    denormals to zero in copies/concats — bitcast-encoded windows read
+    back as zeros on device (measured: pairs=0 at the 1080p bench)."""
+    return x.astype(jnp.float32)
 
 
 def _f2i(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return x.astype(jnp.int32)
 
 
 def _block_qmin(mx, my, ca, cb, cc, wx0, wx1, wy0, wy1, ts: float):
@@ -285,7 +290,7 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         )
         parent = prank[jnp.clip(r, 0, fat_cap - 1)]  # [F] splat ids
 
-        # ONE merged parent-row gather: i32 columns ride as bitcast f32
+        # ONE merged parent-row gather: i32 columns ride as f32 values
         pcols = jnp.concatenate(
             [
                 _i2f(jnp.stack([base, sbx, x0, y0, x1, y1], axis=-1)),
