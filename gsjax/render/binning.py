@@ -29,6 +29,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.core.camera import Camera
 from gsjax.core.config import RenderConfig
@@ -42,6 +44,111 @@ from gsjax.render.project import ProjectedSplats
 # invalid pairs sort after every real tile id (i32 max keeps the
 # 3-operand radix sort a plain signed sort)
 INVALID_TILE = jnp.int32(0x7FFFFFFF)
+
+_EXPAND_R = 4096  # home rows per expansion-kernel grid step
+
+
+def _expand_kernel(meta_ref, in_ref, tile_ref, pid_ref, *, span, k_slots):
+    """Per-(home row, class) pair expansion + exact ellipse-tile cull,
+    fused in one pass. XLA's lowering of the same math materializes
+    dozens of [NH, 9] temporaries (measured 48 ms at the 1080p bench,
+    tools/probe_front.py); here it is a single bandwidth-bound sweep.
+
+    in rows: 0 hx, 1 hy, 2 wx0, 3 wx1, 4 wy0, 5 wy1, 6 validf, 7 mx,
+    8 my, 9 ca, 10 cb, 11 cc, 12 thr, 13 -cb/cc, 14 -cb/ca (f32; int
+    columns are exact f32 values). meta: [ty0, band_rows, tiles_x, ts].
+    Outputs per class c: band tile id (INVALID for dead pairs) and
+    pid = row·k_slots + c."""
+    ty0, band_rows, tiles_x = meta_ref[0], meta_ref[1], meta_ref[2]
+    ts = meta_ref[3]
+    r = in_ref.shape[1]
+    base_row = pl.program_id(0) * r
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + base_row
+    hx = in_ref[0:1, :].astype(jnp.int32)
+    hy = in_ref[1:2, :].astype(jnp.int32)
+    wx0 = in_ref[2:3, :].astype(jnp.int32)
+    wx1 = in_ref[3:4, :].astype(jnp.int32)
+    wy0 = in_ref[4:5, :].astype(jnp.int32)
+    wy1 = in_ref[5:6, :].astype(jnp.int32)
+    okv = in_ref[6:7, :] > 0.5
+    mx, my = in_ref[7:8, :], in_ref[8:9, :]
+    ca, cb, cc = in_ref[9:10, :], in_ref[10:11, :], in_ref[11:12, :]
+    thr = in_ref[12:13, :]
+    ncbrcc, ncbrca = in_ref[13:14, :], in_ref[14:15, :]
+    ts_f = ts.astype(jnp.float32)
+
+    h = span // 2
+    for c in range(k_slots):
+        dx_t, dy_t = c % span, c // span
+        tx = hx + (dx_t - h)
+        ty = hy + (dy_t - h)
+        ok = (
+            okv
+            & (tx >= wx0) & (tx < wx1)
+            & (ty >= wy0) & (ty < wy1)
+            & (ty >= ty0) & (ty < ty0 + band_rows)
+        )
+        # exact ellipse-tile cull (same closed form as the XLA path)
+        dxl = tx.astype(jnp.float32) * ts_f - mx
+        dxr = dxl + (ts_f - 1.0)
+        dyl = ty.astype(jnp.float32) * ts_f - my
+        dyr = dyl + (ts_f - 1.0)
+        inside = (dxl <= 0) & (dxr >= 0) & (dyl <= 0) & (dyr >= 0)
+
+        def edge_x(dx):
+            dy = jnp.clip(ncbrcc * dx, dyl, dyr)
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        def edge_y(dy):
+            dx = jnp.clip(ncbrca * dy, dxl, dxr)
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(dxl), edge_x(dxr)),
+            jnp.minimum(edge_y(dyl), edge_y(dyr)),
+        )
+        ok &= inside | (qmin <= thr)
+        tile_ref[c : c + 1, :] = jnp.where(
+            ok, (ty - ty0) * tiles_x + tx, jnp.int32(0x7FFFFFFF)
+        )  # INVALID_TILE (a python literal: pallas kernels cannot
+        #    capture traced module-level constants)
+        pid_ref[c : c + 1, :] = lane * k_slots + c
+
+
+def expand_pairs_pallas(cols, meta, nh_pad, span: int):
+    """cols [16, NH_pad] f32 (15 data rows + pad), meta [4] i32 →
+    (tile [K, NH_pad] i32, pid [K, NH_pad] i32), class-major."""
+    k_slots = span * span
+    kern = partial(_expand_kernel, span=span, k_slots=k_slots)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nh_pad // _EXPAND_R,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, _EXPAND_R), lambda i, m: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_slots, _EXPAND_R), lambda i, m: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_slots, _EXPAND_R), lambda i, m: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_slots, nh_pad), jnp.int32),
+            jax.ShapeDtypeStruct((k_slots, nh_pad), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(meta, cols)
 
 
 @partial(
@@ -126,13 +233,67 @@ def build_tile_bins(
         if span % 2 != 1:
             raise ValueError("anchor='home' requires an odd tile_span")
         # exact mode: window = this home row's block ∩ rect, computed by
-        # homesort (block centers are image-clipped but the window always
-        # stays inside home±span//2, so class decoding holds)
-        x0, x1 = layout.win[:, 0], layout.win[:, 1]
-        y0, y1 = layout.win[:, 2], layout.win[:, 3]
-        txs = (layout.home_x - span // 2)[:, None] + sx  # [N, K]
-        tys = (layout.home_y - span // 2)[:, None] + sy
-        n_clamped = jnp.zeros((), jnp.int32)  # budgets counted in layout
+        # homesort; expansion + exact ellipse cull run in one fused
+        # Pallas sweep (the XLA lowering materialized dozens of [NH, 9]
+        # temporaries — 48 ms/frame, tools/probe_front.py)
+        nh_pad = -(-n // _EXPAND_R) * _EXPAND_R
+        ca1, cb1, cc1 = p.conic[:, 0], p.conic[:, 1], p.conic[:, 2]
+        thr1 = 2.0 * jnp.log(
+            jnp.maximum(p.opacity, cfg.alpha_min) / cfg.alpha_min
+        ) + 1e-3
+        cols = jnp.stack(
+            [
+                layout.home_x.astype(jnp.float32),
+                layout.home_y.astype(jnp.float32),
+                layout.win[:, 0].astype(jnp.float32),
+                layout.win[:, 1].astype(jnp.float32),
+                layout.win[:, 2].astype(jnp.float32),
+                layout.win[:, 3].astype(jnp.float32),
+                p.valid.astype(jnp.float32),
+                p.mean2d[:, 0],
+                p.mean2d[:, 1],
+                ca1,
+                cb1,
+                cc1,
+                thr1,
+                -cb1 / cc1,
+                -cb1 / ca1,
+                jnp.zeros_like(thr1),
+            ]
+        )  # [16, N]
+        cols = jnp.pad(cols, ((0, 0), (0, nh_pad - n)))
+        meta = jnp.stack(
+            [
+                ty0,
+                jnp.int32(band_rows),
+                jnp.int32(tiles_x),
+                jnp.int32(cfg.tile_size),
+            ]
+        )
+        tile2d, pid2d = expand_pairs_pallas(
+            jax.lax.stop_gradient(cols), meta, nh_pad, span
+        )
+        tile_i = tile2d.reshape(-1)
+        pids = pid2d.reshape(-1)
+        dbits = jnp.asarray(p.depth, jnp.float32).view(jnp.int32)
+        dbits = jnp.pad(dbits, (0, nh_pad - n))
+        dpair = jnp.broadcast_to(dbits[None, :], (k_slots, nh_pad)).reshape(-1)
+        tile_of, _, pid_sorted = jax.lax.sort(
+            (tile_i, dpair, pids), num_keys=3, is_stable=False
+        )
+        tile_starts = jnp.searchsorted(
+            tile_of, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        return TileBins(
+            pid_sorted=pid_sorted,
+            tile_starts=tile_starts,
+            tile_counts=tile_starts[1:] - tile_starts[:-1],
+            n_clamped=jnp.zeros((), jnp.int32),  # budgets in layout
+            n_pairs=jnp.sum((tile_i != INVALID_TILE).astype(jnp.int32)),
+            ty0=ty0,
+            tiles_x=tiles_x,
+            band_rows=band_rows,
+        )
     else:
         x0, y0, x1, y1 = tile_rect(
             p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size

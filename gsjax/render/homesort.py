@@ -290,7 +290,10 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         )
         parent = prank[jnp.clip(r, 0, fat_cap - 1)]  # [F] splat ids
 
-        # ONE merged parent-row gather: i32 columns ride as f32 values
+        # ONE merged parent-row gather: i32 columns ride as f32 values.
+        # Carries BOTH the enumeration geometry (block math + cull) and
+        # the full attribute row (radius/rgb) so the tail rows need no
+        # second per-parent gather (row gathers are priced per row).
         pcols = jnp.concatenate(
             [
                 _i2f(jnp.stack([base, sbx, x0, y0, x1, y1], axis=-1)),
@@ -298,10 +301,12 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
                 p.conic,
                 p.opacity[:, None],
                 depth[:, None],
+                p.radius[:, None],
+                p.rgb,
             ],
             axis=-1,
-        )  # [N, 13]
-        pg = sg(pcols)[parent]  # [F, 13]
+        )  # [N, 17]
+        pg = sg(pcols)[parent]  # [F, 17]
         gi = _f2i(pg[:, 0:6])
         gbase, gsbx = gi[:, 0], jnp.maximum(gi[:, 1], 1)
         gx0, gy0, gx1, gy1 = gi[:, 2], gi[:, 3], gi[:, 4], gi[:, 5]
@@ -387,17 +392,34 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         ],
         axis=-1,
     )  # [N, 11]
-    # tail rows = parent attribute copies + per-copy windows, built under
+    # tail rows = parent attribute copies (reordered from the pg gather —
+    # no second per-parent gather) + per-copy windows + liveness, under
     # stop_gradient: the parent GRADIENT flows through home_gather's
-    # contiguous-segment sum onto packed_n, so this gather must not get
-    # XLA's scatter-add transpose
+    # contiguous-segment sum onto packed_n, so no gather transpose runs
     if cfg.footprint_clamp:
-        tail_full = jnp.zeros((0, PCOLS + 4), packed_n.dtype)
+        tail_full = jnp.zeros((0, PCOLS + 5), packed_n.dtype)
     else:
-        tail_full = sg(
-            jnp.concatenate([packed_n[parent], _i2f(win_tail)], axis=-1)
+        tail_packed = jnp.concatenate(
+            [
+                pg[:, 6:8],    # mean2d
+                pg[:, 12:13],  # depth
+                pg[:, 8:11],   # conic
+                pg[:, 13:14],  # radius
+                pg[:, 14:17],  # rgb
+                pg[:, 11:12],  # opacity
+            ],
+            axis=-1,
         )
-    full_n = jnp.concatenate([packed_n, _i2f(win_n)], axis=-1)
+        tail_full = sg(
+            jnp.concatenate(
+                [tail_packed, _i2f(win_tail),
+                 tail_ok.astype(jnp.float32)[:, None]],
+                axis=-1,
+            )
+        )
+    full_n = jnp.concatenate(
+        [packed_n, _i2f(win_n), on.astype(jnp.float32)[:, None]], axis=-1
+    )
     ph = home_gather(
         full_n, tail_full, perm, inv_ext[:n], inv_ext[n:], seg_base
     )
@@ -410,7 +432,7 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         radius=ph[:, 6],
         rgb=ph[:, 7:10],
         opacity=ph[:, 10],
-        valid=on_ext[perm],
+        valid=ph[:, PCOLS + 4] > 0.5,  # liveness rode the layout gather
     )
     layout = HomeLayout(
         perm=perm,

@@ -61,7 +61,6 @@ def main():
     print(f"  fat_cap={fat_cap} live_cap={live_cap} nt={nt} nh={nh}")
 
     # --- homesort pieces ---------------------------------------------------
-    import gsjax.render.homesort as hs
 
     span = cfg.tile_span
     sg = jax.lax.stop_gradient
