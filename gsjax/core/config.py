@@ -63,8 +63,11 @@ class RenderConfig:
     # --- stream backend (render/pallas_stream.py) ---
     # VMEM band-scratch capacity in home-layout rows (the 3-tile-row ×
     # (block+halo)-column candidate window); overflow is truncated and
-    # counted in RenderAux.n_band_overflow.
-    stream_band_cap: int = 49152
+    # counted in RenderAux.n_band_overflow. Sized for the exact-mode
+    # bench worst block (44.0k rows at width 6) plus the per-run dmach
+    # rounding (3 runs x 4095); the backward's three cap-sized scratch
+    # buffers put ~11 MB of the 16 MB VMEM behind this number.
+    stream_band_cap: int = 57344
     # tiles per band column-block (plus 1 halo tile each side); smaller
     # blocks bound the dense-center worst case under stream_band_cap
     # (exact-mode NH at the 1080p bench: worst 3-row band extent is
