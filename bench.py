@@ -115,8 +115,14 @@ def main():
             g2 = optax.apply_updates(g, updates)
             return g2, opt_state2, loss
 
-    # honesty check: the static pair budget must not truncate this scene
-    _, aux = render(g, cam, cfg, return_aux=True)
+    # honesty check: the static budgets must not truncate this scene.
+    # GATED: a nonzero overflow means the rendered image/loss silently
+    # dropped work, so the timing would not measure the exact semantics
+    # the bench claims — fail the run rather than report it.
+    _, aux = jax.jit(
+        lambda g: render(g, cam, cfg, return_aux=True)
+    )(g)
+    aux = jax.device_get(aux)
     ovf = {
         k: int(aux[k])
         for k in (
@@ -130,6 +136,13 @@ def main():
     }
     novf = sum(ovf.values())
     print(f"# overflow: {novf} (must be 0) {ovf}", file=sys.stderr)
+    if novf != 0:
+        print(
+            "# FAIL: overflow counters nonzero — the frame truncated work; "
+            "raise the corresponding budget (see core/config.py) and re-run",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     # compile + warmup
     t0 = time.perf_counter()

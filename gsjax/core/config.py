@@ -63,18 +63,22 @@ class RenderConfig:
     # --- stream backend (render/pallas_stream.py) ---
     # VMEM band-scratch capacity in home-layout rows (the 3-tile-row ×
     # (block+halo)-column candidate window); overflow is truncated and
-    # counted in RenderAux.n_band_overflow. Sized for the exact-mode
-    # bench worst block (44.0k rows at width 6) plus the per-run dmach
-    # rounding (3 runs x 4095); the backward's three cap-sized scratch
-    # buffers put ~11 MB of the 16 MB VMEM behind this number.
-    stream_band_cap: int = 57344
+    # counted in RenderAux.n_band_overflow. Sized from
+    # tools/probe_band_occupancy.py at the 1080p bench: worst block
+    # EXACT extent 43,959 rows at width 6; with dmach=2048 the 3-run
+    # rounding brings the requirement to 51,200 — 53,248 leaves one
+    # chunk of slack (dmach=1024 would allow a 49,152 cap but costs
+    # ~35 ms/frame of per-chunk DMA fori overhead in the band loads). (The r2 cap of 57,344 with dmach=4096 was SHORT:
+    # rounding pushed the worst block to 61,440 → the 3,705-row overflow
+    # shipped in BENCH_r02.json.) The backward's three cap-sized scratch
+    # buffers put ~9 MB of the 16 MB VMEM behind this number.
+    stream_band_cap: int = 53248
     # tiles per band column-block (plus 1 halo tile each side); smaller
     # blocks bound the dense-center worst case under stream_band_cap
-    # (exact-mode NH at the 1080p bench: worst 3-row band extent is
-    # 57.3k rows at width 8, 44.0k at width 6 — width 6 fits the cap)
     stream_block_tiles: int = 6
-    # lanes per band DMA chunk (multiple of 128)
-    stream_dma_chunk: int = 4096
+    # lanes per band DMA chunk (multiple of 128); smaller chunks waste
+    # less cap to per-run rounding (3 runs × up to 2·(dmach−1) rows)
+    stream_dma_chunk: int = 2048
     # slot-group size: each stream-kernel grid step processes this many
     # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
     # grid overhead (~82% of slots are skipped by early termination at

@@ -49,11 +49,16 @@ def parse_qply(buf: bytes, format: str = "", banded: bool = False):
     """Parse a quantized-codebook PLY.
 
     banded=False (default): one zero-padded Gaussians at the max degree
-    present (back-compat). banded=True: a BandedGaussians whose groups
-    keep their NATIVE SH size — a band-0 splat stores 1 coefficient, not
-    16 (≙ the reference's bandsIndices partitioning,
-    PLYLoader.ts:1190-1195; eval branches per band like
-    vertex.glsl.ts:180-189 via core/banded.project_banded)."""
+    PRESENT IN THE FILE (intentional: a file holding only band-0/1 groups
+    yields K=4 and sh_degree=1, not the K=16 the r1 loader always padded
+    to — the trailing zero bands are inert in eval, and the smaller K is
+    the whole point of the banded storage; pad with
+    jnp.pad(g.sh, ((0,0),(0,16-K),(0,0))) if a fixed K=16 is required).
+    banded=True: a BandedGaussians whose groups keep their NATIVE SH
+    size — a band-0 splat stores 1 coefficient, not 16 (≙ the
+    reference's bandsIndices partitioning, PLYLoader.ts:1190-1195; eval
+    branches per band like vertex.glsl.ts:180-189 via
+    core/banded.project_banded)."""
     return _parse_qply(buf, format=format, banded=banded)
 
 

@@ -146,6 +146,14 @@ def load_ply_streamed(
         )
         if vert is None:
             raise ValueError("PLY has no vertex element")
+        if header.elements[0].name != "vertex":
+            # rows are decoded from data_offset, which assumes the vertex
+            # element is stored first (same assumption as parse_ply / the
+            # reference's _ParseFullPLYBufferFast, PLYLoader.ts:578-712)
+            raise ValueError(
+                "streamed PLY ingest requires vertex as the first element "
+                f"(file order: {[e.name for e in header.elements]})"
+            )
         names = [nm for nm, _t in vert.properties]
         dtype = np.dtype([(nm, t) for nm, t in vert.properties])
         n = vert.count
@@ -219,6 +227,16 @@ def load_ply_streamed(
                 )
             done += len(chunk)
             carry = carry + chunk
+        # drain trailing non-vertex elements so the final progress report
+        # reaches bytes_total (a caller-driven progress bar completes)
+        if on_progress is not None:
+            while True:
+                chunk = fh.read(chunk_bytes)
+                if not chunk:
+                    break
+                done += len(chunk)
+                on_progress(done, total)
+            on_progress(done, total)
         return _assemble(d, format)
     finally:
         if close:

@@ -92,10 +92,34 @@ def _home_gather_bwd(res, d):
     dx = take(inv)  # primary rows, bijective into the kept window
     if f:
         d_tail = take(inv_tail)  # [F, C] copy-row grads, parent-contiguous
-        s = jnp.cumsum(d_tail, axis=0, dtype=jnp.float32)
-        s = jnp.concatenate([jnp.zeros((1,) + d.shape[1:], jnp.float32), s])
-        seg = s[jnp.minimum(seg_base, f)]  # [N+1, C]
-        dx = dx + (seg[1:] - seg[:-1]).astype(d.dtype)
+        # Per-parent sums by BLOCK-BOUNDED prefix differencing: a global
+        # f32 cumsum's running magnitude grows ~sqrt(F)·|g| and small
+        # segments then difference two huge numbers (measured 240x
+        # relative error at 1M copy rows, mixed magnitudes). Instead:
+        # within-block (B rows) inclusive prefix p + block total T. A
+        # segment [a, b) is at most fat_max_blocks < B rows, so it spans
+        # <= 2 blocks and its sum is p[b-1] - p[a-1] (+ T[blk(a-1)] when
+        # it crosses one block edge) — every difference is within-block
+        # magnitude. T rides the SAME boundary gather as extra columns
+        # (row gathers are priced per row, not width).
+        c = d_tail.shape[1]
+        B = 1024  # > fat_max_blocks (enforced in build_home_layout)
+        nb = -(-f // B)
+        dt = jnp.pad(d_tail.astype(jnp.float32), ((0, nb * B - f), (0, 0)))
+        p = jnp.cumsum(dt.reshape(nb, B, c), axis=1)  # [nb, B, C]
+        T = p[:, -1:, :]  # [nb, 1, C] block totals
+        paug = jnp.concatenate(
+            [p, jnp.broadcast_to(T, p.shape)], axis=-1
+        ).reshape(nb * B, 2 * c)
+        sb = jnp.minimum(seg_base, f)  # [N+1]
+        idx = sb - 1
+        pb = jnp.where(
+            (idx >= 0)[:, None], paug[jnp.maximum(idx, 0)], 0.0
+        )  # [N+1, 2C]: within-block prefix at the boundary + its block's T
+        blk = jnp.maximum(idx, 0) // B
+        cross = (blk[1:] > blk[:-1])[:, None]
+        seg = (pb[1:, :c] - pb[:-1, :c]) + jnp.where(cross, pb[:-1, c:], 0.0)
+        dx = dx + seg.astype(d.dtype)
     return (dx, None, None, None, None, None)
 
 
@@ -145,6 +169,16 @@ def resolve_fat_caps(n: int, cfg: RenderConfig):
     fat_cap = cfg.fat_cap
     if fat_cap is None:
         fat_cap = min(4_194_304, max(1024, 2 * n))
+    if fat_cap >= 1 << 24:
+        # copy-block decoding rides the merged parent gather as f32
+        # VALUES (_i2f): `base` up to fat_cap must be exactly
+        # representable, or gbase silently corrupts and windows/homes
+        # decode wrong with no overflow count
+        raise ValueError(
+            f"fat_cap={fat_cap} >= 2^24 breaks the f32-exactness "
+            "precondition of the merged parent gather (homesort._i2f); "
+            "use a smaller cap (overflow is counted, never silent)"
+        )
     live_cap = cfg.fat_live_cap
     if live_cap is None:
         live_cap = min(2_097_152, max(1024, n + n // 4))
@@ -248,6 +282,13 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         on_ext = on
         n_ovf = jnp.zeros((), jnp.int32)
     else:
+        if cfg.fat_max_blocks >= 1024:
+            # the VJP's block-bounded segment reduction (_home_gather_bwd)
+            # requires every parent's copy run to span <= 2 of its
+            # 1024-row blocks, i.e. run length < 1024
+            raise ValueError(
+                f"fat_max_blocks={cfg.fat_max_blocks} must be < 1024"
+            )
         x0, y0, x1, y1 = tile_rect(mean2d, radius, tiles_x, tiles_y, cfg.tile_size)
         on = valid & (x1 > x0) & (y1 > y0)
         sbx = -(-(x1 - x0) // span)  # blocks per axis (≥1 when on)
@@ -365,9 +406,13 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         num_keys=3,
         is_stable=False,
     )
+    # perm_full is a permutation (unique keys), so the inverse needs only
+    # a 1-KEY sort with the iota as payload — measured 10 ms vs 30 ms for
+    # the r2 num_keys=2 variant and 26 ms for a scatter-set at nt=3.6M
+    # (tools/probe_reorg.py)
     _, inv_ext = jax.lax.sort(
         (perm_full, jnp.arange(nt, dtype=jnp.int32)),
-        num_keys=2,
+        num_keys=1,
         is_stable=False,
     )
     perm = perm_full[:nh]
