@@ -50,6 +50,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.core.camera import Camera
 from gsjax.core.config import RenderConfig
@@ -57,6 +59,264 @@ from gsjax.render.common import depth_bits, tile_rect
 from gsjax.render.project import ProjectedSplats
 
 PCOLS = 11  # mean2d(2) + depth(1) + conic(3) + radius(1) + rgb(3) + opacity(1)
+
+# --------------------------------------------------------------------------
+# fat-parent ragged repeat (Pallas)
+# --------------------------------------------------------------------------
+#
+# Copy slot j of the fat enumeration needs its parent's attribute row.
+# Parents of consecutive slots are consecutive FAT splats (slot ranges
+# [base_i, base_i + n_ex_i) partition the slot axis), so the "gather" is a
+# ragged repeat with NON-DECREASING indices — which XLA's gather cannot
+# exploit (measured 23 ms for the rank gather + 26 ms for the parent-row
+# gather at the 1080p bench, tools/probe_homesort2.py). This kernel walks
+# the slot axis with a sliding window over the fat-compacted parent
+# table: per 128-slot subchunk, parents span at most 129 consecutive
+# rows, and the selection one-hot[slot, row] =
+# (base[row] <= slot < base_end[row]) has exactly one 1 per live slot, so
+# an MXU dot against 3-way-bf16-split columns (8+8+8 mantissa bits)
+# reconstructs every f32 attribute EXACTLY (the split identity
+# x == (hi + mid) + lo holds for all f32; see tests).
+
+_RPT_STEP = 2048  # copy slots per grid step
+_RPT_SUB = 128  # slots per one-hot subchunk
+_RPT_WIN = 256  # parent-window lanes per subchunk (129 parents + slack)
+_RPT_WROWS = 2432  # step window rows (2049 parents + 128 floor + slack)
+# logical dot columns: fb, mx, my, ca, cb, cc, op, depth, radius,
+# r, g, b, sbx, x0, y0, x1, y1, nex
+_RPT_C = 18
+_RPT_LANES = 128  # 3 * _RPT_C = 54; HBM DMA slices need full 128-lane width
+
+
+def _tail_chain(get, *, slot_i, nc, tiles_x, tiles_y, span, h, ts,
+                alpha_min, t_sent):
+    """Per-copy block decode + window + home + exact ellipse cull, on
+    whichever orientation `get(col)` yields (row- or lane-major).
+    Returns (okf, home_key_f32, depth_masked, [wx0, wx1, wy0, wy1])."""
+    slot = slot_i.astype(jnp.float32)
+    b = (slot - get(0) + 1.0).astype(jnp.int32)  # block index 1..nb-1
+    gsbx = jnp.maximum(get(12).astype(jnp.int32), 1)
+    gx0 = get(13).astype(jnp.int32)
+    gy0 = get(14).astype(jnp.int32)
+    gx1 = get(15).astype(jnp.int32)
+    gy1 = get(16).astype(jnp.int32)
+    bx = b % gsbx
+    by = b // gsbx
+    cwx0 = gx0 + span * bx
+    cwx1 = jnp.minimum(cwx0 + span, gx1)
+    cwy0 = gy0 + span * by
+    cwy1 = jnp.minimum(cwy0 + span, gy1)
+    chx = jnp.minimum(cwx0 + h, tiles_x - 1)
+    chy = jnp.minimum(cwy0 + h, tiles_y - 1)
+    thr = 2.0 * jnp.log(jnp.maximum(get(6), alpha_min) / alpha_min) + 1e-3
+    qmin = _block_qmin(
+        get(1), get(2), get(3), get(4), get(5),
+        cwx0, cwx1, cwy0, cwy1, float(ts),
+    )
+    ok = jnp.logical_and(slot_i < nc, qmin <= thr)
+    okf = jnp.where(ok, 1.0, 0.0)
+    hk = jnp.where(ok, (chy * tiles_x + chx).astype(jnp.float32), t_sent)
+    dep = jnp.where(ok, get(7), 1.0)
+    cw = [c.astype(jnp.float32) for c in (cwx0, cwx1, cwy0, cwy1)]
+    return okf, hk, dep, cw
+
+
+def _repeat_kernel(ws_ref, nc_ref, ftab_any, fbrow_any, tab_ref, keys_ref,
+                   wtab_ref, fb_ref, sem1, sem2, *, tiles_x, tiles_y,
+                   span, ts, alpha_min):
+    j = pl.program_id(0)
+    ws = ws_ref[j]  # 128-aligned window start row
+    nc = nc_ref[0]  # live copy count (min(n_copies, fat_cap))
+    cp1 = pltpu.make_async_copy(
+        ftab_any.at[pl.ds(pl.multiple_of(ws, 128), _RPT_WROWS), :],
+        wtab_ref, sem1,
+    )
+    cp2 = pltpu.make_async_copy(
+        fbrow_any.at[:, pl.ds(pl.multiple_of(ws, 128), _RPT_WROWS)],
+        fb_ref, sem2,
+    )
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    # per-subchunk window starts: count of parents fully consumed before
+    # each 128-slot boundary, over the step window (one [16, WROWS]
+    # compare + lane reduce for all 16 subchunks)
+    fbe = fb_ref[1:2, :]  # [1, WROWS] parent end slots (f32, exact)
+    bvec = (
+        jax.lax.broadcasted_iota(jnp.int32, (_RPT_STEP // _RPT_SUB, 1), 0)
+        * _RPT_SUB
+        + j * _RPT_STEP
+    ).astype(jnp.float32)
+    cnt = jnp.sum(
+        jnp.where(fbe <= bvec, 1.0, 0.0), axis=1, keepdims=True
+    )  # [16, 1]
+    cnti = cnt.astype(jnp.int32)
+
+    h = span // 2
+    t_sent = jnp.float32(tiles_x * tiles_y)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (_RPT_SUB, 1), 0)
+    for k in range(_RPT_STEP // _RPT_SUB):
+        # 128-aligned window offset: slack is absorbed by the one-hot's
+        # self-masking (rows outside a slot's [fb, fbe) never match)
+        loc = (cnti[k, 0] // 128) * 128
+        w = wtab_ref[pl.ds(pl.multiple_of(loc, 128), _RPT_WIN), :]
+        fbl = fb_ref[0:1, pl.ds(pl.multiple_of(loc, 128), _RPT_WIN)]
+        fbel = fb_ref[1:2, pl.ds(pl.multiple_of(loc, 128), _RPT_WIN)]
+        slot_i = srow + (j * _RPT_STEP + k * _RPT_SUB)  # [SUB, 1] i32
+        slot = slot_i.astype(jnp.float32)
+        oh = jnp.where(
+            jnp.logical_and(fbl <= slot, fbel > slot), 1.0, 0.0
+        ).astype(jnp.bfloat16)  # [SUB, WIN]
+        acc = jax.lax.dot_general(
+            oh, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SUB, LANES]
+        att = (
+            acc[:, 0:_RPT_C] + acc[:, _RPT_C : 2 * _RPT_C]
+        ) + acc[:, 2 * _RPT_C : 3 * _RPT_C]  # exact f32 reconstruction
+
+        # row-major tail table: PURE attribute reorder, no per-slot math
+        # (row-major [SUB, 1] chain ops use 1 of 128 lanes — the whole
+        # block-decode chain in that orientation measured ~85 ms/frame)
+        tab = jnp.concatenate(
+            [att[:, 1:3], att[:, 7:8], att[:, 3:6], att[:, 8:9],
+             att[:, 9:12], att[:, 6:7],
+             jnp.zeros((_RPT_SUB, 1), jnp.float32)],
+            axis=1,
+        )  # [SUB, 12]: mean2, depth, conic, radius, rgb, opacity, pad
+        tab_ref[pl.ds(k * _RPT_SUB, _RPT_SUB), :] = tab
+
+        # the block decode + window + exact ellipse cull run ONCE, in
+        # lane-major orientation ([1, SUB] rows — full VPU lanes), fed by
+        # a second transposed MXU pass; windows leave as two packed
+        # payload lanes (wx0*128+wx1, wy0*128+wy1), liveness as the
+        # home-key sentinel
+        accT = jax.lax.dot_general(
+            w, oh, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [LANES, SUB]
+        attT = (
+            accT[0:_RPT_C] + accT[_RPT_C : 2 * _RPT_C]
+        ) + accT[2 * _RPT_C : 3 * _RPT_C]  # [C, SUB]
+        scol = jax.lax.broadcasted_iota(jnp.int32, (1, _RPT_SUB), 1) + (
+            j * _RPT_STEP + k * _RPT_SUB
+        )
+        _okf, hkT, depT, cwT = _tail_chain(
+            lambda i: attT[i : i + 1, :], slot_i=scol, nc=nc,
+            tiles_x=tiles_x, tiles_y=tiles_y, span=span, h=h, ts=ts,
+            alpha_min=alpha_min, t_sent=t_sent,
+        )
+        cwc = [jnp.clip(c, 0.0, 127.0) for c in cwT]
+        wpa = cwc[0] * 128.0 + cwc[1]
+        wpb = cwc[2] * 128.0 + cwc[3]
+        krows = jnp.concatenate(
+            [hkT, depT, wpa, wpb, jnp.zeros((4, _RPT_SUB), jnp.float32)],
+            axis=0,
+        )  # [8, SUB]
+        keys_ref[:, pl.ds(k * _RPT_SUB, _RPT_SUB)] = krows
+
+
+def repeat_fat_parents(src18, fb, fbe, n_copies, fat_cap: int,
+                       tiles_x: int, tiles_y: int, span: int, ts: int,
+                       alpha_min: float):
+    """Ragged-repeat src18 rows over the copy-slot axis, with the whole
+    per-copy block math (window, home tile, exact ellipse cull) fused in.
+
+    src18 [NF, 18] f32: fat-compacted parent rows, col 0 = base (first
+    copy slot), col 17 = n_ex; fb/fbe [NF] f32: base / base + n_ex
+    (2^30 for non-fat pad rows); n_copies: traced live-copy count.
+    Returns:
+      tail_tab [fat_cap, 12] f32 — home_gather's tail-table rows
+        (mean2, depth, conic, radius, rgb, opacity, pad), exact f32
+        parent attributes (3-way bf16 split through the one-hot MXU
+        selection);
+      keys [8, fat_cap] f32 — row 0 home key (tiles_x*tiles_y sentinel
+        for dead/culled rows — liveness is IMPLIED by the sentinel),
+        row 1 depth (1.0 when dead), rows 2/3 packed copy windows
+        (wx0*128+wx1, wy0*128+wy1). Lane-major so the caller's 1-D key
+        extraction stays tile-packed."""
+    nf = src18.shape[0]
+    n_pad = -(-(nf + _RPT_WROWS) // 128) * 128
+    # split via reduce_precision, NOT astype round-trips: under
+    # --xla_allow_excess_precision (on by default on TPU) XLA elides the
+    # f32->bf16 rounding inside `x - f32(bf16(x))`, silently zeroing the
+    # mid/lo parts (measured: TPU returned hi-only values; CPU exact)
+    h32 = jax.lax.reduce_precision(src18, 8, 7)
+    m32 = jax.lax.reduce_precision(src18 - h32, 8, 7)
+    l32 = jax.lax.reduce_precision(src18 - h32 - m32, 8, 7)
+    h = h32.astype(jnp.bfloat16)
+    m = m32.astype(jnp.bfloat16)
+    lo = l32.astype(jnp.bfloat16)
+    ftab = jnp.pad(
+        jnp.concatenate([h, m, lo], axis=1),
+        ((0, n_pad - nf), (0, _RPT_LANES - 3 * _RPT_C)),
+    )  # [n_pad, LANES] bf16
+    big = jnp.float32(1 << 30)
+    fbrow = jnp.stack(
+        [
+            jnp.pad(fb, (0, n_pad - nf), constant_values=big),
+            jnp.pad(fbe, (0, n_pad - nf), constant_values=big),
+        ]
+    )
+    # pad the sublane dim to the f32 tile (8): 2-sublane HBM arrays DMA
+    # garbled on real TPUs (interpret mode hides it)
+    fbrow = jnp.pad(fbrow, ((0, 6), (0, 0)), constant_values=big)  # [8, n_pad]
+    steps = fat_cap // _RPT_STEP
+    ws = jnp.clip(
+        jnp.searchsorted(
+            fbrow[0],
+            (jnp.arange(steps, dtype=jnp.int32) * _RPT_STEP).astype(
+                jnp.float32
+            ),
+            side="right",
+        ).astype(jnp.int32)
+        - 1,
+        0,
+        n_pad - _RPT_WROWS,
+    )
+    ws = (ws // 128) * 128
+    nc = jnp.minimum(
+        jnp.asarray(n_copies, jnp.int32), jnp.int32(fat_cap)
+    )[None]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (_RPT_STEP, 12), lambda j, ws, nc: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, _RPT_STEP), lambda j, ws, nc: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_RPT_WROWS, _RPT_LANES), jnp.bfloat16),
+            pltpu.VMEM((8, _RPT_WROWS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = partial(
+        _repeat_kernel, tiles_x=tiles_x, tiles_y=tiles_y, span=span,
+        ts=ts, alpha_min=alpha_min,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((fat_cap, 12), jnp.float32),
+            jax.ShapeDtypeStruct((8, fat_cap), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(ws, nc, ftab, fbrow)
 
 
 # --------------------------------------------------------------------------
@@ -169,6 +429,7 @@ def resolve_fat_caps(n: int, cfg: RenderConfig):
     fat_cap = cfg.fat_cap
     if fat_cap is None:
         fat_cap = min(4_194_304, max(1024, 2 * n))
+    fat_cap = -(-fat_cap // _RPT_STEP) * _RPT_STEP  # repeat-kernel grid
     if fat_cap >= 1 << 24:
         # copy-block decoding rides the merged parent gather as f32
         # VALUES (_i2f): `base` up to fat_cap must be exactly
@@ -273,12 +534,10 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         nt = n
         nh = n
         fat_cap = 0
-        parent = jnp.zeros((0,), jnp.int32)
         seg_base = jnp.zeros((n + 1,), jnp.int32)
-        win_n = jnp.zeros((n, 4), jnp.int32)  # sentinel: binning reclamps
-        win_tail = jnp.zeros((0, 4), jnp.int32)
-        hx_pre = htx
-        hy_pre = hty
+        # zero packed windows = the all-zero win sentinel: binning reclamps
+        wpa = jnp.zeros((n,), jnp.int32)
+        wpb = jnp.zeros((n,), jnp.int32)
         on_ext = on
         n_ovf = jnp.zeros((), jnp.int32)
     else:
@@ -315,80 +574,67 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
             jnp.concatenate([base, (base[-1] + n_ex[-1])[None]]), fat_cap
         ).astype(jnp.int32)
 
-        # ragged parent resolution: rank r of slot j = #fat parents with
-        # base ≤ j (marks + cumsum); prank[rank] = parent splat id
-        marks = (
-            jnp.zeros((fat_cap + 1,), jnp.int32)
-            .at[jnp.where(is_fat, base, fat_cap)]
-            .add(1, mode="drop")
-        )
-        r = jnp.cumsum(marks[:fat_cap]) - 1  # [F]
-        fat_rank = jnp.cumsum(is_fat.astype(jnp.int32)) - 1
-        prank = (
-            jnp.zeros((fat_cap + 1,), jnp.int32)
-            .at[jnp.where(is_fat & (base < fat_cap), fat_rank, fat_cap)]
-            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        )
-        parent = prank[jnp.clip(r, 0, fat_cap - 1)]  # [F] splat ids
-
-        # ONE merged parent-row gather: i32 columns ride as f32 values.
-        # Carries BOTH the enumeration geometry (block math + cull) and
-        # the full attribute row (radius/rgb) so the tail rows need no
-        # second per-parent gather (row gathers are priced per row).
-        pcols = jnp.concatenate(
+        # ragged parent resolution + attribute repeat in ONE Pallas
+        # sweep (repeat_fat_parents): r2's marks+cumsum rank gather and
+        # the 17-col parent-row gather measured 23 + 26 ms at the 1080p
+        # bench (tools/probe_homesort2.py); the sliding-window one-hot
+        # kernel exploits the non-decreasing parent indices XLA's gather
+        # ignores. Fat splats are compacted first by a 1-key sort of
+        # (fat ? idx : n).
+        fkey = jnp.where(is_fat, jnp.arange(n, dtype=jnp.int32), n)
+        fat_order = jax.lax.sort(fkey, is_stable=False)
+        okf = fat_order < n
+        fo = jnp.minimum(fat_order, n - 1)
+        src18 = jnp.concatenate(
             [
-                _i2f(jnp.stack([base, sbx, x0, y0, x1, y1], axis=-1)),
+                _i2f(base)[:, None],
                 mean2d,
                 p.conic,
                 p.opacity[:, None],
                 depth[:, None],
                 p.radius[:, None],
                 p.rgb,
+                _i2f(jnp.stack([sbx, x0, y0, x1, y1], axis=-1)),
+                _i2f(n_ex)[:, None],
             ],
             axis=-1,
-        )  # [N, 17]
-        pg = sg(pcols)[parent]  # [F, 17]
-        gi = _f2i(pg[:, 0:6])
-        gbase, gsbx = gi[:, 0], jnp.maximum(gi[:, 1], 1)
-        gx0, gy0, gx1, gy1 = gi[:, 2], gi[:, 3], gi[:, 4], gi[:, 5]
-        lanes = jnp.arange(fat_cap, dtype=jnp.int32)
-        b = lanes - gbase + 1  # copy's block index (1..nb-1)
-        bx = b % gsbx
-        by = b // gsbx
-        cwx0 = gx0 + span * bx
-        cwx1 = jnp.minimum(cwx0 + span, gx1)
-        cwy0 = gy0 + span * by
-        cwy1 = jnp.minimum(cwy0 + span, gy1)
-        chx = jnp.minimum(cwx0 + h, tiles_x - 1)
-        chy = jnp.minimum(cwy0 + h, tiles_y - 1)
-
-        # exact block-level ellipse cull: a block whose window can never
-        # reach alpha_min produces zero pairs — drop the copy row now
-        # (sorts to the sentinel segment; the pair stream is unchanged)
-        gmx, gmy = pg[:, 6], pg[:, 7]
-        gca, gcb, gcc = pg[:, 8], pg[:, 9], pg[:, 10]
-        gop, gdepth = pg[:, 11], pg[:, 12]
-        thr = 2.0 * jnp.log(
-            jnp.maximum(gop, cfg.alpha_min) / cfg.alpha_min
-        ) + 1e-3
-        qmin = _block_qmin(
-            gmx, gmy, gca, gcb, gcc, cwx0, cwx1, cwy0, cwy1,
-            float(cfg.tile_size),
+        )  # [N, 18]
+        # barrier: g18 feeds fb/fbe/the split table; without it XLA
+        # input-fuses (= re-runs) the [N, 18] gather into every consumer
+        # (measured: build_home_layout 186 -> ~95 ms)
+        g18 = jax.lax.optimization_barrier(
+            jnp.where(okf[:, None], sg(src18)[fo], 0.0)
         )
-        tail_ok = (lanes < jnp.minimum(n_copies, fat_cap)) & (qmin <= thr)
-
-        win_n = pwin
-        win_tail = jnp.stack([cwx0, cwx1, cwy0, cwy1], axis=-1)
-        hx_pre = jnp.concatenate([phx, chx])
-        hy_pre = jnp.concatenate([phy, chy])
+        big = jnp.float32(1 << 30)
+        fb = jnp.where(okf, g18[:, 0], big)
+        fbe = jnp.where(okf, g18[:, 0] + g18[:, 17], big)
+        # the kernel fuses the per-copy block decode, window, home tile
+        # and exact block-level ellipse cull (a block whose window can
+        # never reach alpha_min sorts to the sentinel segment; the pair
+        # stream is unchanged) — doing this math XLA-side on [F, 1]
+        # column slices of the kernel output cost 55+ ms of 128x-padded
+        # HBM traffic at the 1080p bench
+        tail_tab, tkeys = repeat_fat_parents(
+            sg(g18), sg(fb), sg(fbe), sg(n_copies), fat_cap,
+            tiles_x, tiles_y, span, cfg.tile_size, cfg.alpha_min,
+        )
+        hk_tail = _f2i(tkeys[0])
+        tail_ok = hk_tail < t_sent  # dead/culled rows carry the sentinel
         on_ext = jnp.concatenate([on, tail_ok])
-        depth_ext = jnp.concatenate(
-            [depth, jnp.where(tail_ok, gdepth, 1.0)]
+        home_key = jnp.concatenate(
+            [jnp.where(on, phy * tiles_x + phx, t_sent), hk_tail]
         )
-        home_key = jnp.where(
-            on_ext, hy_pre * tiles_x + hx_pre, t_sent
+        dkey = depth_bits(jnp.concatenate([depth, tkeys[1]]))
+        # per-row windows ride the big sort as two packed payload
+        # operands (wx0*128+wx1 / wy0*128+wy1, both < 2^14): unpacking
+        # the SORTED values is 1-D elementwise, where routing them
+        # through an [F, 4] / [nh, 16] table costs (8,128)-tile padding
+        wpa = jnp.concatenate(
+            [pwin[:, 0] * 128 + pwin[:, 1], _f2i(tkeys[2])]
         )
-        dkey = depth_bits(depth_ext)
+        wpb = jnp.concatenate(
+            [pwin[:, 2] * 128 + pwin[:, 3], _f2i(tkeys[3])]
+        )
         nt = n + fat_cap
         nh = n + live_cap
         # overflow: blocks beyond fat_max_blocks + copies beyond fat_cap
@@ -398,11 +644,11 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
             + jnp.maximum(n_copies - fat_cap, 0)
         ).astype(jnp.int32)
 
-    # full f32 depth resolution (graphdeco semantics): 3-operand radix
-    # sort (home, depth_bits, idx); idx as a third KEY makes tie order
-    # ascending-index deterministically
-    home_sorted, _, perm_full = jax.lax.sort(
-        (home_key, dkey, jnp.arange(nt, dtype=jnp.int32)),
+    # full f32 depth resolution (graphdeco semantics): 3 KEYS
+    # (home, depth_bits, idx — idx makes tie order ascending-index
+    # deterministically) + the packed per-row windows as payloads
+    home_sorted, _, perm_full, wpa_s, wpb_s = jax.lax.sort(
+        (home_key, dkey, jnp.arange(nt, dtype=jnp.int32), wpa, wpb),
         num_keys=3,
         is_stable=False,
     )
@@ -437,38 +683,26 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         ],
         axis=-1,
     )  # [N, 11]
-    # tail rows = parent attribute copies (reordered from the pg gather —
-    # no second per-parent gather) + per-copy windows + liveness, under
-    # stop_gradient: the parent GRADIENT flows through home_gather's
-    # contiguous-segment sum onto packed_n, so no gather transpose runs
+    # tail rows = parent attribute copies, emitted by the repeat kernel
+    # directly in this column order (no XLA-side column shuffling of the
+    # [F, ...] array), under stop_gradient: the parent GRADIENT flows
+    # through home_gather's contiguous-segment sum onto packed_n, so no
+    # gather transpose runs. Windows and liveness do NOT ride the
+    # gather: windows arrive via the sort payloads, liveness is the
+    # home-key sentinel.
     if cfg.footprint_clamp:
-        tail_full = jnp.zeros((0, PCOLS + 5), packed_n.dtype)
+        tail_full = jnp.zeros((0, PCOLS + 1), packed_n.dtype)
     else:
-        tail_packed = jnp.concatenate(
-            [
-                pg[:, 6:8],    # mean2d
-                pg[:, 12:13],  # depth
-                pg[:, 8:11],   # conic
-                pg[:, 13:14],  # radius
-                pg[:, 14:17],  # rgb
-                pg[:, 11:12],  # opacity
-            ],
-            axis=-1,
-        )
-        tail_full = sg(
-            jnp.concatenate(
-                [tail_packed, _i2f(win_tail),
-                 tail_ok.astype(jnp.float32)[:, None]],
-                axis=-1,
-            )
-        )
-    full_n = jnp.concatenate(
-        [packed_n, _i2f(win_n), on.astype(jnp.float32)[:, None]], axis=-1
-    )
+        tail_full = sg(tail_tab)
+    full_n = jnp.pad(packed_n, ((0, 0), (0, 1)))
+    tail_full, full_n = jax.lax.optimization_barrier((tail_full, full_n))
     ph = home_gather(
         full_n, tail_full, perm, inv_ext[:n], inv_ext[n:], seg_base
     )
-    win = _f2i(ph[:, PCOLS : PCOLS + 4])
+    wpa_h, wpb_h = wpa_s[:nh], wpb_s[:nh]
+    win = jnp.stack(
+        [wpa_h // 128, wpa_h % 128, wpb_h // 128, wpb_h % 128], axis=-1
+    )
     hs = jnp.minimum(home_sorted, t_sent - 1)
     p_home = ProjectedSplats(
         mean2d=ph[:, 0:2],
@@ -477,7 +711,7 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         radius=ph[:, 6],
         rgb=ph[:, 7:10],
         opacity=ph[:, 10],
-        valid=ph[:, PCOLS + 4] > 0.5,  # liveness rode the layout gather
+        valid=home_sorted < t_sent,  # liveness = the home-key sentinel
     )
     layout = HomeLayout(
         perm=perm,

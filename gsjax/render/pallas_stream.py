@@ -81,12 +81,20 @@ def _ceil(a, b):
 
 def att_cols_table(cols, n_pad):
     """9 f32 columns [N] → [32, n_pad] bf16 hi/lo table (rows 0:9 hi,
-    16:25 lo). Built by stacking column vectors — no transpose."""
+    16:25 lo). Built by stacking column vectors — no transpose.
+
+    The split goes through lax.reduce_precision, NOT astype round-trips:
+    under --xla_allow_excess_precision (TPU default) XLA elides the
+    f32→bf16 rounding inside `c - f32(bf16(c))`, silently zeroing the lo
+    half — the table then carries only 8 mantissa bits and every
+    attribute the blend kernel reads is bf16-quantized (found in r3 via
+    the homesort repeat kernel, whose integer columns made it visible)."""
     n = cols[0].shape[0]
-    hi = [c.astype(jnp.bfloat16) for c in cols]
+    hi32 = [jax.lax.reduce_precision(c, 8, 7) for c in cols]
+    hi = [h.astype(jnp.bfloat16) for h in hi32]
     lo = [
-        (c - h.astype(jnp.float32)).astype(jnp.bfloat16)
-        for c, h in zip(cols, hi)
+        jax.lax.reduce_precision(c - h, 8, 7).astype(jnp.bfloat16)
+        for c, h in zip(cols, hi32)
     ]
     z = jnp.zeros((7, n), jnp.bfloat16)
     tab = jnp.concatenate([jnp.stack(hi), z, jnp.stack(lo), z], axis=0)
@@ -930,7 +938,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, FWD_ROWS, n_px),
@@ -1015,13 +1023,13 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
                 (1, u, _win_lanes(cfg.chunk)), slot_idx,
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 4, n_px), tile_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FWD_ROWS, n_px), tile_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, n_px), tile_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
