@@ -4,9 +4,13 @@ Design (SURVEY §2.5 / §5.8, BASELINE configs 4-5):
   - splat parameters replicated on every chip (they are small next to the
     pair/pixel work; ≤ a few hundred MB for 5M splats),
   - the image's tile rows sharded over the `tiles` mesh axis: every chip
-    projects all splats (cheap, elementwise), then bins *only its own tile
-    band* — so the expensive (tile,depth) sort and the compositing sweep
-    both scale with 1/D,
+    projects all splats (cheap, elementwise) and builds the (home, depth)
+    layout (replicated — it is how a chip finds its band), then SLICES
+    the layout to its band's contiguous home-row range
+    (homesort.slice_band_rows): the pair expansion, (tile, depth) sort,
+    pid windows and blend kernels all run on the band share, so the
+    dominant costs scale ~1/D by construction (tests assert the
+    per-device sorted sizes shrink),
   - the loss is a local mean over the band + `psum`; parameter gradients
     come out of the local backward and are `psum`ed over ICI (XLA overlaps
     the all-reduce with the remaining backward work).
@@ -37,22 +41,42 @@ from gsjax.render.project import project
 
 def _render_band(g, cam, cfg, ty0, band):
     """Render one tile-row band [ty0, ty0+band): the per-device body of
-    the sharded render/train step. Dispatches on cfg.backend exactly like
-    the single-chip pipeline (the stream Pallas path bins and composites
-    only its own band — the sort, windows, and blend all scale 1/D)."""
+    the sharded render/train step.
+
+    Stream path: the (home, depth) sort itself is replicated (every
+    device needs the full layout to find its band), but the layout is
+    then RESTRICTED to the band's contiguous home-row range
+    (homesort.slice_band_rows) before anything expensive runs — pair
+    expansion, the (tile, depth) sort, pid windows, and both blend
+    kernels all operate on a static band-share-sized slice, so
+    per-device work past the layout genuinely scales ~1/D (r2 shipped a
+    version that sorted the FULL pair stream per device and merely
+    marked out-of-band pairs invalid)."""
     backend = cfg.backend
     if backend in ("auto", "pallas"):
         backend = "stream" if jax.default_backend() == "tpu" else "xla"
     if backend == "stream":
-        from gsjax.render.homesort import build_home_layout
+        from gsjax.render.homesort import (
+            band_slice_cap,
+            build_home_layout,
+            slice_band_rows,
+        )
         from gsjax.render.pallas_stream import composite_tiles_stream
 
         p = project(g, cam, cfg)
         p, layout = build_home_layout(p, cam, cfg)
+        n_sliced = jnp.zeros((), jnp.int32)
+        if band < cfg.tiles_y(cam.height):
+            cap = band_slice_cap(
+                layout.perm.shape[0], cfg.tiles_y(cam.height), band
+            )
+            p, layout, n_sliced = slice_band_rows(p, layout, ty0, band, cap)
         bins = build_tile_bins(
             p, cam, cfg, ty0=ty0, band_rows=band, anchor="home", layout=layout
         )
-        return composite_tiles_stream(p, layout, bins, cam, cfg)
+        img, aux = composite_tiles_stream(p, layout, bins, cam, cfg)
+        aux["n_band_overflow"] = aux["n_band_overflow"] + n_sliced
+        return img, aux
     p = project(g, cam, cfg)
     bins = build_tile_bins(p, cam, cfg, ty0=ty0, band_rows=band)
     return composite_tiles(p, bins, cam, cfg)

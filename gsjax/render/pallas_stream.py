@@ -197,27 +197,43 @@ def band_blocks(
     tiles_y: int,
     band_rows: int,
     cfg: RenderConfig,
+    seg_row0=None,
+    rows_present: int | None = None,
 ):
     """Per (band row, column block) DMA descriptors.
 
+    `seg_starts` may be band-local (homesort.slice_band_rows): it then
+    covers `rows_present` tile rows starting at `seg_row0`, with row
+    offsets already rebased to the sliced attribute table.
+
     Returns (blktab [NBLK·12] i32 — per run r∈{0,1,2} of each block:
-    (global start row, length in rows, scratch base lane); empty runs
-    get start=2^30 so window→run threshold selection never picks them —
+    (start row, length in rows, scratch base lane); empty runs get
+    start=2^30 so window→run threshold selection never picks them —
     and n_overflow_rows, the home rows truncated by stream_band_cap)."""
     blkw = cfg.stream_block_tiles
     dmach = cfg.stream_dma_chunk
     cap = cfg.stream_band_cap
     nbx = _ceil(tiles_x, blkw)
     ty0 = jnp.asarray(ty0, jnp.int32)
+    if seg_row0 is None:
+        seg_row0 = jnp.zeros((), jnp.int32)
+    if rows_present is None:
+        rows_present = tiles_y
+    seg_row0 = jnp.asarray(seg_row0, jnp.int32)
 
     y = jnp.arange(band_rows, dtype=jnp.int32)[:, None, None]  # [Y,1,1]
     bx = jnp.arange(nbx, dtype=jnp.int32)[None, :, None]  # [1,B,1]
     r = jnp.arange(3, dtype=jnp.int32)[None, None, :]  # [1,1,3]
     row_abs = ty0 + y - 1 + r
-    row_ok = (row_abs >= 0) & (row_abs < tiles_y)
+    row_ok = (
+        (row_abs >= 0)
+        & (row_abs < tiles_y)
+        & (row_abs >= seg_row0)
+        & (row_abs < seg_row0 + rows_present)
+    )
     c0 = jnp.clip(bx * blkw - 1, 0, tiles_x)
     c1 = jnp.clip(bx * blkw + blkw + 1, 0, tiles_x)
-    row_c = jnp.clip(row_abs, 0, tiles_y - 1)
+    row_c = jnp.clip(row_abs - seg_row0, 0, rows_present - 1)
     a = row_c * tiles_x + c0
     b = row_c * tiles_x + c1
     s = jnp.where(row_ok, seg_starts[a], 0)  # exact run row ranges
@@ -1128,7 +1144,8 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
     pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg)
     blktab, n_ovf = band_blocks(
         layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
-        bins.band_rows, cfg,
+        bins.band_rows, cfg, seg_row0=layout.seg_row0,
+        rows_present=layout.rows_present,
     )
     # means stored relative to each row's HOME-tile origin so the bf16
     # hi/lo table error stays ~1e-4 px at any image resolution; the

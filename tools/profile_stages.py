@@ -178,6 +178,7 @@ def profile_stream():
     ap.add_argument("--wh", default="1920x1080")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--pair-cap", type=int, default=None)
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -198,7 +199,8 @@ def profile_stream():
     )
     from gsjax.render.project import project
 
-    cfg = RenderConfig(backend="stream", chunk=args.chunk)
+    cfg = RenderConfig(backend="stream", chunk=args.chunk,
+                       pair_cap=args.pair_cap)
     g = bonsai_like(n=args.n)
     cam = bench_camera(width=W, height=H)
 
