@@ -84,9 +84,9 @@ def main():
     if args.scene == "garden":
         n = args.n or 5_000_000
         g = garden_like(n=n)
-        # 4x the splat density of bonsai: narrower column blocks keep the
-        # dense ground-plane tiles inside the VMEM band budget
-        cfg = dataclasses.replace(cfg, stream_block_tiles=4)
+        # default band budget verified for this scene:
+        # tools/probe_band_occupancy.py --scene garden — worst block
+        # 43.3k exact / 49.2k rounded at blkw=6, dmach=2048
     else:
         g = bonsai_like(n=n, sh_degree=0)
     cam = bench_camera(width=width, height=height)

@@ -57,7 +57,11 @@ class RenderConfig:
     # (homesort.resolve_fat_caps): caps are static shapes, so autos
     # derive from N at trace time. Overflow counts in aux
     # n_fat_overflow.
-    fat_max_blocks: int = 256
+    # per-splat block budget: must stay < 1024 (the VJP's block-bounded
+    # segment reduction, homesort._home_gather_bwd); 1023 covers any
+    # footprint up to a full 1080p frame (ceil(120/3)*ceil(68/3) = 920
+    # blocks — garden-scale splats overflow the old 256 default)
+    fat_max_blocks: int = 1023
     fat_cap: int | None = None
     fat_live_cap: int | None = None
     # --- stream backend (render/pallas_stream.py) ---

@@ -21,7 +21,9 @@ Capability parity with the reference's _ParseQPLYBuffer
     eval), so no band machinery survives.
 
 Decoding is vectorized numpy (u8 fancy-indexing into the codebooks)
-instead of the reference's per-vertex DataView loop.
+instead of the reference's per-vertex DataView loop. The header/decode
+helpers are shared with io/stream.load_qply_streamed, which fills the
+same structured row arrays chunk-by-chunk.
 """
 
 from __future__ import annotations
@@ -45,34 +47,19 @@ _SIZES = {
 _SH_STRIDE = {0: 0, 1: 3, 2: 8, 3: 15}
 
 
-def parse_qply(buf: bytes, format: str = "", banded: bool = False):
-    """Parse a quantized-codebook PLY.
+def parse_qheader(head: bytes):
+    """Parse a quantized-PLY header (bytes through ``end_header``).
 
-    banded=False (default): one zero-padded Gaussians at the max degree
-    PRESENT IN THE FILE (intentional: a file holding only band-0/1 groups
-    yields K=4 and sh_degree=1, not the K=16 the r1 loader always padded
-    to — the trailing zero bands are inert in eval, and the smaller K is
-    the whole point of the banded storage; pad with
-    jnp.pad(g.sh, ((0,0),(0,16-K),(0,0))) if a fixed K=16 is required).
-    banded=True: a BandedGaussians whose groups keep their NATIVE SH
-    size — a band-0 splat stores 1 coefficient, not 16 (≙ the
-    reference's bandsIndices partitioning, PLYLoader.ts:1190-1195; eval
-    branches per band like vertex.glsl.ts:180-189 via
-    core/banded.project_banded)."""
-    return _parse_qply(buf, format=format, banded=banded)
-
-
-def _parse_qply(buf: bytes, format: str = "", banded: bool = False):
-    head_raw = buf[: 1024 * 10]
+    Returns (groups, cb_props, data_start): groups in FILE order as
+    (bands, count, numpy dtype); cb_props the codebook column names."""
     end_tag = b"end_header\n"
-    hi = head_raw.find(end_tag)
-    if not buf.startswith(b"ply") or hi < 0:
+    hi = head.find(end_tag)
+    if not head.startswith(b"ply") or hi < 0:
         raise ValueError("Unable to read .ply file header")
-    header = head_raw[:hi].decode("ascii", errors="replace")
+    header = head[:hi].decode("ascii", errors="replace")
     data_start = hi + len(end_tag)
 
-    # --- the four vertex groups -----------------------------------------
-    groups = []  # (bands, count, [(name, type)])
+    groups = []  # FILE order: (bands, count, dtype)
     sections = re.split(r"\nelement ", "\n" + header)
     cb_props = []
     for sec in sections:
@@ -87,38 +74,34 @@ def _parse_qply(buf: bytes, format: str = "", banded: bool = False):
             if line.startswith("property ")
         ]
         if m:
-            groups.append((int(m.group(1)), int(m.group(2)), props))
+            dtype = np.dtype(
+                [(name, "<i2" if t == "short" else "<u1") for t, name in props]
+            )
+            if dtype.itemsize != sum(_SIZES[t] for t, _n in props):
+                raise ValueError("unsupported property type in quantized PLY")
+            groups.append((int(m.group(1)), int(m.group(2)), dtype))
         elif first.startswith("codebook_centers"):
             cb_props = [name for _t, name in props]
     if len(groups) != 4:
         raise ValueError(f"expected 4 quantized vertex groups, got {len(groups)}")
-    groups.sort(key=lambda g: g[0])
+    return groups, cb_props, data_start
 
-    # --- codebooks -------------------------------------------------------
-    data_bytes = sum(
-        count * sum(_SIZES[t] for t, _n in props) for _b, count, props in groups
-    )
-    nb = len(cb_props)
-    cb_raw = np.frombuffer(
-        buf, dtype="<i2", count=256 * nb, offset=data_start + data_bytes
-    ).reshape(256, nb)
+
+def decode_qply(groups, rows_by_group, cb_raw, cb_props,
+                format: str = "", banded: bool = False):
+    """Decode structured index rows + codebooks into the scene.
+
+    groups/rows_by_group in file order; decoding emits band-ascending
+    groups (the reference's bandsIndices order, PLYLoader.ts:1190-1195)."""
     codebooks = {
         name: cb_raw[:, j].view(np.float16).astype(np.float32)
         for j, name in enumerate(cb_props)
     }
-
-    # --- decode each group ----------------------------------------------
+    order = sorted(range(len(groups)), key=lambda i: groups[i][0])
     out = []
-    offset = data_start
-    for bands, count, props in groups:
-        dtype = np.dtype(
-            [(name, "<i2" if t == "short" else "<u1") for t, name in props]
-        )
-        if dtype.itemsize != sum(_SIZES[t] for t, _n in props):
-            raise ValueError("unsupported property type in quantized PLY")
-        rows = np.frombuffer(buf, dtype=dtype, count=count, offset=offset)
-        offset += dtype.itemsize * count
-
+    for gi in order:
+        bands, count, dtype = groups[gi]
+        rows = rows_by_group[gi]
         means = np.stack(
             [rows[c].view(np.float16).astype(np.float32) for c in ("x", "y", "z")],
             axis=-1,
@@ -140,7 +123,7 @@ def _parse_qply(buf: bytes, format: str = "", banded: bool = False):
         for c in range(3):
             sh[:, 0, c] = codebooks["features_dc"][rows[f"f_dc_{c}"]]
         if stride:
-            rest_names = [n for _t, n in props if n.startswith("f_rest_")]
+            rest_names = [n for n in dtype.names if n.startswith("f_rest_")]
             # file layout channel-major: f_rest_[c·stride + k] is channel
             # c, coefficient k; codebook features_rest_k is per-coefficient
             for c in range(3):
@@ -167,3 +150,31 @@ def _parse_qply(buf: bytes, format: str = "", banded: bool = False):
         if means.shape[0] > 0
     )
     return bg if banded else bg.to_gaussians()
+
+
+def parse_qply(buf: bytes, format: str = "", banded: bool = False):
+    """Parse a quantized-codebook PLY.
+
+    banded=False (default): one zero-padded Gaussians at the max degree
+    PRESENT IN THE FILE (intentional: a file holding only band-0/1 groups
+    yields K=4 and sh_degree=1, not the K=16 the r1 loader always padded
+    to — the trailing zero bands are inert in eval, and the smaller K is
+    the whole point of the banded storage; pad with
+    jnp.pad(g.sh, ((0,0),(0,16-K),(0,0))) if a fixed K=16 is required).
+    banded=True: a BandedGaussians whose groups keep their NATIVE SH
+    size — a band-0 splat stores 1 coefficient, not 16 (≙ the
+    reference's bandsIndices partitioning, PLYLoader.ts:1190-1195; eval
+    branches per band like vertex.glsl.ts:180-189 via
+    core/banded.project_banded)."""
+    groups, cb_props, data_start = parse_qheader(buf[: 1024 * 10])
+    rows_by_group = []
+    offset = data_start
+    for _bands, count, dtype in groups:
+        rows_by_group.append(np.frombuffer(buf, dtype=dtype, count=count,
+                                           offset=offset))
+        offset += dtype.itemsize * count
+    nb = len(cb_props)
+    cb_raw = np.frombuffer(
+        buf, dtype="<i2", count=256 * nb, offset=offset
+    ).reshape(256, nb)
+    return decode_qply(groups, rows_by_group, cb_raw, cb_props, format, banded)

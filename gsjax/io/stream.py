@@ -241,3 +241,89 @@ def load_ply_streamed(
     finally:
         if close:
             fh.close()
+
+
+def load_qply_streamed(
+    src,
+    on_progress=None,
+    format: str = "",
+    banded: bool = False,
+    chunk_bytes: int = DEFAULT_CHUNK,
+):
+    """Chunked quantized-PLY ingest with progress (≙ the reference
+    streaming the download through the same reader loop before
+    _ParseQPLYBuffer, PLYLoader.ts:30-108 with quantized=true +
+    :893-1196).
+
+    The codebooks live AFTER all vertex data, so full decode needs the
+    whole file — but the u8/i16 index rows are ~8x smaller than the
+    decoded f32 scene, so rows are accumulated per group into
+    preallocated structured arrays chunk-by-chunk (peak extra memory =
+    one chunk + the compact index arrays) and decoded once the
+    codebooks arrive. Bit-identical to io.qply.parse_qply."""
+    from gsjax.io.qply import decode_qply, parse_qheader
+
+    fh, total, close = _open(src)
+    try:
+        head = b""
+        while b"end_header\n" not in head:
+            if len(head) > _MAX_HEADER:
+                raise ValueError("header_end_not_found: no end_header")
+            b_ = fh.read(8192)
+            if not b_:
+                raise ValueError("header_end_not_found: stream ended")
+            head += b_
+        groups, cb_props, data_start = parse_qheader(head)
+        rows_by_group = [
+            np.empty(count, dtype) for _b, count, dtype in groups
+        ]
+        fills = [0] * len(groups)
+        gi = 0
+        carry = head[data_start:]
+        done = len(head)
+        cb_bytes = 256 * len(cb_props) * 2
+        cb_buf = b""
+        while True:
+            # drain complete rows of the current group(s) from the carry
+            while gi < len(groups):
+                _bands, count, dtype = groups[gi]
+                need = count - fills[gi]
+                if need == 0:
+                    gi += 1
+                    continue
+                n_full = min(len(carry) // dtype.itemsize, need)
+                if n_full:
+                    rows = np.frombuffer(
+                        carry, dtype=dtype, count=n_full
+                    )
+                    rows_by_group[gi][fills[gi] : fills[gi] + n_full] = rows
+                    fills[gi] += n_full
+                    carry = carry[n_full * dtype.itemsize :]
+                if fills[gi] < count:
+                    break  # need more bytes
+                gi += 1
+            if gi >= len(groups):
+                cb_buf += carry
+                carry = b""
+                if len(cb_buf) >= cb_bytes:
+                    break
+            if on_progress is not None:
+                on_progress(done, total)
+            chunk = fh.read(chunk_bytes)
+            if not chunk:
+                raise ValueError(
+                    f"quantized PLY stream ended early (group {gi}, "
+                    f"row {fills[min(gi, len(groups) - 1)]})"
+                )
+            done += len(chunk)
+            carry += chunk
+        if on_progress is not None:
+            on_progress(done, total)
+        cb_raw = np.frombuffer(
+            cb_buf, dtype="<i2", count=256 * len(cb_props)
+        ).reshape(256, len(cb_props))
+        return decode_qply(groups, rows_by_group, cb_raw, cb_props,
+                           format, banded)
+    finally:
+        if close:
+            fh.close()

@@ -30,13 +30,14 @@ splats out ONCE per frame in (home_tile, depth) order:
     contiguous-segment sum (copies of one parent are consecutive
     enumeration slots) — never a large scatter-add.
 
-Copy enumeration is RAGGED: copy slot j finds its parent with a
-marks + cumsum rank (one pass over the flat budget), replacing round 1's
-dense [fat_splats_cap, fat_max_blocks] scatter grid that cost 51 ms of
-frame time at the 1080p bench (tools/probe_homesort.py). Parent
-attributes arrive via ONE merged row gather (i32 columns ride as exact
-f32 values) — row gathers are priced per ROW (~6 ns) regardless of
-width, so column merging is the whole game.
+Copy enumeration is RAGGED: parents of consecutive copy slots are
+consecutive FAT splats, so parent resolution + attribute repeat + the
+whole per-copy block math run in ONE Pallas sweep (repeat_fat_parents,
+r3) — r2's marks+cumsum rank gather and 17-col parent-row gather cost
+23 + 26 ms at the 1080p bench because XLA's gather ignores the
+non-decreasing indices, and the XLA-side block math another ~55 ms of
+(8,128)-tile-padded [F, 1] column traffic. Windows ride the big sort as
+packed payloads; liveness is the home-key sentinel.
 
 This generalizes the reference's single global depth sort
 (/root/reference/wasm/wasm.cpp:33-51) into the (home tile, depth) order

