@@ -83,6 +83,13 @@ class RenderConfig:
     # lanes per band DMA chunk (multiple of 128); smaller chunks waste
     # less cap to per-run rounding (3 runs × up to 2·(dmach−1) rows)
     stream_dma_chunk: int = 2048
+    # exact attribute mode: the bf16 hi/lo split table (16+ mantissa
+    # bits, ~2^-17 relative on means/conic) gains a third part so the
+    # one-hot MXU selection reconstructs every f32 EXACTLY — the blend
+    # then reads bit-exact attributes (stream == xla to f32 rounding).
+    # Costs ~1.5x band-DMA traffic + VMEM; default off for speed, on in
+    # the exact-compare tests.
+    stream_exact_table: bool = False
     # slot-group size: each stream-kernel grid step processes this many
     # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
     # grid overhead (~82% of slots are skipped by early termination at

@@ -62,6 +62,13 @@ from gsjax.render.pallas_flat import _ABLATE  # noqa: E402
 
 WINW = 128  # window lanes per one-hot round
 TAB_ROWS = 32  # att table sublanes: 0:9 hi, 16:25 lo
+TAB_ROWS_EXACT = 48  # exact mode: 0:9 hi, 16:25 mid, 32:41 lo
+
+
+def _tab_rows(cfg):
+    return TAB_ROWS_EXACT if cfg.stream_exact_table else TAB_ROWS
+
+
 GRAD_ROWS = 16  # dcand scratch sublanes: 0:9 used
 # window base for classes with no pairs in the chunk: home rows are
 # >= -1, so ids = WIN_SENTINEL + lane can never match a sid and the
@@ -79,9 +86,12 @@ def _ceil(a, b):
 # --------------------------------------------------------------------------
 
 
-def att_cols_table(cols, n_pad):
-    """9 f32 columns [N] → [32, n_pad] bf16 hi/lo table (rows 0:9 hi,
-    16:25 lo). Built by stacking column vectors — no transpose.
+def att_cols_table(cols, n_pad, exact: bool = False):
+    """9 f32 columns [N] → bf16 split table (rows 0:9 hi, 16:25 lo;
+    exact mode adds a third 8-bit-mantissa part at 32:41, making the
+    one-hot MXU selection reconstruct every f32 EXACTLY — the
+    (hi + mid) + lo identity holds for all f32). Built by stacking
+    column vectors — no transpose.
 
     The split goes through lax.reduce_precision, NOT astype round-trips:
     under --xla_allow_excess_precision (TPU default) XLA elides the
@@ -92,12 +102,18 @@ def att_cols_table(cols, n_pad):
     n = cols[0].shape[0]
     hi32 = [jax.lax.reduce_precision(c, 8, 7) for c in cols]
     hi = [h.astype(jnp.bfloat16) for h in hi32]
-    lo = [
-        jax.lax.reduce_precision(c - h, 8, 7).astype(jnp.bfloat16)
-        for c, h in zip(cols, hi32)
+    mid32 = [
+        jax.lax.reduce_precision(c - h, 8, 7) for c, h in zip(cols, hi32)
     ]
     z = jnp.zeros((7, n), jnp.bfloat16)
-    tab = jnp.concatenate([jnp.stack(hi), z, jnp.stack(lo), z], axis=0)
+    parts = [jnp.stack(hi), z, jnp.stack([m.astype(jnp.bfloat16) for m in mid32]), z]
+    if exact:
+        lo = [
+            jax.lax.reduce_precision(c - h - m, 8, 7).astype(jnp.bfloat16)
+            for c, h, m in zip(cols, hi32, mid32)
+        ]
+        parts += [jnp.stack(lo), z]
+    tab = jnp.concatenate(parts, axis=0)
     return jnp.pad(tab, ((0, 0), (0, n_pad - n)))
 
 
@@ -388,7 +404,7 @@ def _spill_params(i, los, cums):
 
 def _gather_att(
     los, cums, blktab_ref, blk, band_ref, sid, cls, chunk, k_slots,
-    dmach, cap, origin,
+    dmach, cap, origin, tab_rows,
 ):
     """One-hot MXU gather of this chunk's pair attributes over per-CLASS
     windows: onehot[pair, lane] = (sid == window row) & (cls == c).
@@ -407,7 +423,7 @@ def _gather_att(
     zero opacity and are never eligible)."""
     tox, toy, ts = origin
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
-    acc = jnp.zeros((chunk, TAB_ROWS), jnp.float32)
+    acc = jnp.zeros((chunk, tab_rows), jnp.float32)
 
     def round_(acc, lo_s, w_i, m_cls):
         ids = lo_s + w_i * WINW + lane  # global home rows
@@ -422,7 +438,7 @@ def _gather_att(
         w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
         return acc + jax.lax.dot_general(
             oh,
-            w,  # [TAB_ROWS, WINW]
+            w,  # [tab_rows, WINW]
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -436,6 +452,10 @@ def _gather_att(
 
     acc = jax.lax.fori_loop(0, cums[-1], spill, acc)
     att = acc[:, 0:ATT_COLS] + acc[:, 16 : 16 + ATT_COLS]
+    if tab_rows >= TAB_ROWS_EXACT:
+        # exact mode: third split part recovers f32 exactly; means are
+        # stored ABSOLUTE (no origin reconstruction round-off)
+        return att + acc[:, 32 : 32 + ATT_COLS]
     # per-pair class origin (garbage for invalid pairs — their zero
     # opacity keeps them ineligible regardless)
     addx = (tox + (1 - cls % 3) * ts).astype(jnp.float32)
@@ -540,6 +560,7 @@ def _stream_fwd_kernel(
     alpha_min: float,
     eps_T: float,
     unroll: int,
+    tab_rows: int,
 ):
     n_px = ts * ts
     js = pl.program_id(0)
@@ -600,7 +621,7 @@ def _stream_fwd_kernel(
             else:
                 att = _gather_att(
                     los, cums, blktab_ref, blk, band_ref, sid, cls,
-                    chunk, k_slots, dmach, cap, origin,
+                    chunk, k_slots, dmach, cap, origin, tab_rows,
                 )
 
             alpha, eligible, f, _G, _dx, _dy, _uc = _chunk_quantities(
@@ -669,6 +690,7 @@ def _stream_bwd_kernel(
     alpha_min: float,
     eps_T: float,
     unroll: int,
+    tab_rows: int,
 ):
     del dzero_any  # aliased storage; all access goes through dgrad_any
     n_px = ts * ts
@@ -818,7 +840,7 @@ def _stream_bwd_kernel(
             else:
                 att = _gather_att(
                     los, cums, blktab_ref, blk, band_ref, sid, cls,
-                    chunk, k_slots, dmach, cap, origin,
+                    chunk, k_slots, dmach, cap, origin, tab_rows,
                 )
 
             ct_img = ct_ref[0, 0:3, :]
@@ -935,6 +957,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         alpha_min=cfg.alpha_min,
         eps_T=cfg.transmittance_eps,
         unroll=u,
+        tab_rows=_tab_rows(cfg),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -962,7 +985,7 @@ def _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TAB_ROWS, cfg.stream_band_cap), jnp.bfloat16),
+            pltpu.VMEM((_tab_rows(cfg), cfg.stream_band_cap), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((2,), jnp.int32),
         ],
@@ -1020,6 +1043,7 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
         alpha_min=cfg.alpha_min,
         eps_T=cfg.transmittance_eps,
         unroll=u,
+        tab_rows=_tab_rows(cfg),
     )
 
     def slot_idx(j, st, cb, tof, m, bt):
@@ -1049,7 +1073,7 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
             pl.BlockSpec((1, 8, n_px), tile_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TAB_ROWS, cfg.stream_band_cap), jnp.bfloat16),
+            pltpu.VMEM((_tab_rows(cfg), cfg.stream_band_cap), jnp.bfloat16),
             pltpu.VMEM((GRAD_ROWS, cfg.stream_band_cap), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, cfg.stream_band_cap), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -1085,7 +1109,7 @@ def blend_stream(cols, pidwin, blktab, starts, cbase, tile_of, ty0,
     (mx, my, conic a/b/c, r, g, b, opacity), each [N].
     Returns (img [T, n_px, 3], T_act [T, n_px])."""
     n_pad = _table_pad(cols[0].shape[0], cfg)
-    att_tab = att_cols_table(cols, n_pad)
+    att_tab = att_cols_table(cols, n_pad, exact=cfg.stream_exact_table)
     out = _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of,
                     ty0, tiles_x, band_rows, cfg)
     return jnp.swapaxes(out[:, 0:3, :], 1, 2), out[:, 3, :]
@@ -1099,7 +1123,7 @@ def _table_pad(n, cfg):
 def _blend_stream_fwd(cols, pidwin, blktab, starts, cbase, tile_of,
                       ty0, tiles_x, band_rows, cfg):
     n_pad = _table_pad(cols[0].shape[0], cfg)
-    att_tab = att_cols_table(cols, n_pad)
+    att_tab = att_cols_table(cols, n_pad, exact=cfg.stream_exact_table)
     out = _fwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of,
                     ty0, tiles_x, band_rows, cfg)
     res = (att_tab, pidwin, blktab, starts, cbase, tile_of, ty0, out,
@@ -1151,12 +1175,19 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
     # hi/lo table error stays ~1e-4 px at any image resolution; the
     # kernel adds the per-class home origin back (see _gather_att). The
     # home tile comes from the layout (exact mode re-homes rows at block
-    # centers; legacy mode uses the mean's clipped tile).
+    # centers; legacy mode uses the mean's clipped tile). With the
+    # 3-way exact table the split is already f32-exact, so means stay
+    # ABSOLUTE (the origin reconstruction would round).
     ts = float(cfg.tile_size)
-    htx = layout.home_x.astype(jnp.float32)
-    hty = layout.home_y.astype(jnp.float32)
+    if cfg.stream_exact_table:
+        mx_c, my_c = p.mean2d[:, 0], p.mean2d[:, 1]
+    else:
+        htx = layout.home_x.astype(jnp.float32)
+        hty = layout.home_y.astype(jnp.float32)
+        mx_c = p.mean2d[:, 0] - htx * ts
+        my_c = p.mean2d[:, 1] - hty * ts
     cols = (
-        p.mean2d[:, 0] - htx * ts, p.mean2d[:, 1] - hty * ts,
+        mx_c, my_c,
         p.conic[:, 0], p.conic[:, 1], p.conic[:, 2],
         p.rgb[:, 0], p.rgb[:, 1], p.rgb[:, 2],
         p.opacity,
