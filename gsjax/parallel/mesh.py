@@ -55,3 +55,31 @@ def band_rows_for(cfg, height: int, n_devices: int) -> int:
 
 def padded_height(cfg, height: int, n_devices: int) -> int:
     return band_rows_for(cfg, height, n_devices) * n_devices * cfg.tile_size
+
+
+def band_rows_balanced(cfg, height: int, n_devices: int) -> int:
+    """Tile rows per GROUP in balanced mode: the image splits into
+    2·n_devices row groups and device d composites groups (d, d+D) —
+    one from each half, so a unimodal (center-heavy) density profile
+    assigns every device one dense-ish and one sparse-ish group
+    (pairing d with 2D−1−d would put BOTH center groups on one device).
+    This cancels most of the skew that makes equal contiguous bands
+    unbalanced (the mesh runs at its slowest device)."""
+    tiles_y = cfg.tiles_y(height)
+    return -(-tiles_y // (2 * n_devices))
+
+
+def balanced_group_order(n_devices: int):
+    """Sharded row-group order: device d's shard holds groups
+    [d, d + n_devices] consecutively."""
+    order = []
+    for d in range(n_devices):
+        order += [d, d + n_devices]
+    return order
+
+
+def padded_height_balanced(cfg, height: int, n_devices: int) -> int:
+    return (
+        band_rows_balanced(cfg, height, n_devices)
+        * 2 * n_devices * cfg.tile_size
+    )

@@ -154,3 +154,88 @@ def pad_target(cfg: RenderConfig, cam: Camera, target, n_devices: int):
         jnp.asarray(target, jnp.float32),
         ((0, ph - target.shape[0]), (0, pw - target.shape[1]), (0, 0)),
     )
+
+
+# --------------------------------------------------------------------------
+# balanced (boustrophedon) band assignment
+# --------------------------------------------------------------------------
+
+
+def make_train_step_balanced(cam: Camera, cfg: RenderConfig, mesh, optimizer):
+    """Tile-sharded training step with COUNT-BALANCED band assignment:
+    the image splits into 2D row groups; device d composites groups
+    (d, d+D) — one from each image half, so a unimodal density profile
+    gives every device one dense-ish and one sparse-ish group. On the 1080p bench scene the contiguous equal-row split gives
+    the center device several times the pairs of the edge device (the
+    step runs at the slowest device); the pairing cancels most of that
+    for radially-concentrated scenes. The loss is a sum over pixels, so
+    the group permutation changes nothing semantically — only the
+    TARGET must be pre-permuted with `pad_target_balanced`."""
+    from gsjax.parallel.mesh import band_rows_balanced
+
+    n_dev = mesh.shape[TILES_AXIS]
+    gband = band_rows_balanced(cfg, cam.height, n_dev)
+    # normalize by the tile-rounded IMAGE size, not the balanced padding
+    # (which grows with 2D group rounding): padding rows are black in
+    # both the render and the target, so the loss equals the contiguous
+    # split's bit-for-bit and gradients carry the same scale
+    n_px_total = (
+        cfg.tiles_y(cam.height) * cfg.tile_size
+        * cfg.tiles_x(cam.width) * cfg.tile_size
+    )
+
+    def local_loss_and_grad(g, target_band):
+        d = jax.lax.axis_index(TILES_AXIS)
+
+        def loss_fn(g):
+            img0, _ = _render_band(g, cam, cfg, d * gband, gband)
+            img1, _ = _render_band(
+                g, cam, cfg, (d + n_dev) * gband, gband
+            )
+            img = jnp.concatenate([img0, img1])
+            return jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+
+        loss, grads = jax.value_and_grad(loss_fn)(g)
+        loss = jax.lax.psum(loss, TILES_AXIS)
+        grads = jax.lax.psum(grads, TILES_AXIS)
+        return loss, grads
+
+    sharded_grad = shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(TILES_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    import optax
+
+    @jax.jit
+    def train_step(g, opt_state, target):
+        loss, grads = sharded_grad(g, target)
+        updates, opt_state = optimizer.update(grads, opt_state, g)
+        g = optax.apply_updates(g, updates)
+        return g, opt_state, loss
+
+    return train_step
+
+
+def pad_target_balanced(cfg: RenderConfig, cam: Camera, target, n_devices: int):
+    """Pad a [H, W, 3] target and permute its row groups into the
+    balanced sharded order (device d's shard = groups d, d+D)."""
+    from gsjax.parallel.mesh import (
+        balanced_group_order,
+        band_rows_balanced,
+    )
+
+    gband = band_rows_balanced(cfg, cam.height, n_devices)
+    gh = gband * cfg.tile_size
+    ph = 2 * n_devices * gh
+    pw = cfg.tiles_x(cam.width) * cfg.tile_size
+    t = jnp.pad(
+        jnp.asarray(target, jnp.float32),
+        ((0, ph - target.shape[0]), (0, pw - target.shape[1]), (0, 0)),
+    )
+    groups = t.reshape(2 * n_devices, gh, pw, 3)
+    order = jnp.asarray(balanced_group_order(n_devices), jnp.int32)
+    return groups[order].reshape(ph, pw, 3)

@@ -159,3 +159,62 @@ def test_sharded_stream_grads_match_replicated(rng, mesh8):
     assert float(loss8) == pytest.approx(float(loss1), rel=1e-5)
     for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_balanced_bands_match_and_balance(rng, mesh8):
+    """Balanced (boustrophedon) band assignment: same loss/grads as the
+    contiguous split (the loss is permutation-invariant over pixels),
+    and a center-heavy scene's per-device pair counts even out."""
+    from gsjax.parallel.mesh import (
+        TILES_AXIS,
+        balanced_group_order,
+        band_rows_balanced,
+        band_rows_for,
+    )
+    from gsjax.parallel.render_sharded import (
+        make_train_step_balanced,
+        pad_target_balanced,
+    )
+    from gsjax.render.binning import build_tile_bins
+    from gsjax.render.project import project
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    # center-heavy: tight spread → most splats land mid-image
+    g = make_random_scene(rng, n=600, spread=0.35, z_range=(3.0, 6.0))
+    cam = _cam()
+    target = np.asarray(render(g, cam, CFG))
+
+    opt = optax.adam(1e-3)
+    # D=4 over 8 tile rows -> 8 groups of 1 row, every group real; D=8
+    # would mirror-pair with out-of-image groups (degenerate)
+    mesh4 = make_mesh(4)
+    step_b = make_train_step_balanced(cam, CFG, mesh4, opt)
+    tgt_b = pad_target_balanced(CFG, cam, target, 4)
+    g_b, _, loss_b = step_b(g, opt.init(g), tgt_b)
+
+    step_c = make_train_step(cam, CFG, make_mesh(1), opt)
+    tgt_c = pad_target(CFG, cam, target, 1)
+    g_c, _, loss_c = step_c(g, opt.init(g), tgt_c)
+    assert float(loss_b) == pytest.approx(float(loss_c), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # balance: max-device pair count strictly improves vs contiguous
+    p = project(g, cam, CFG)
+
+    def pairs_for(ty0, band):
+        return int(
+            build_tile_bins(p, cam, CFG, ty0=ty0, band_rows=band).n_pairs
+        )
+
+    band_c = band_rows_for(CFG, cam.height, 4)
+    contig = [pairs_for(d * band_c, band_c) for d in range(4)]
+    gband = band_rows_balanced(CFG, cam.height, 4)
+    bal = [
+        pairs_for(d * gband, gband)
+        + pairs_for((d + 4) * gband, gband)
+        for d in range(4)
+    ]
+    assert sum(bal) == sum(contig)
+    assert max(bal) < max(contig), (max(bal), max(contig))

@@ -103,5 +103,66 @@ def main():
         )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--band-subset" not in sys.argv:
     main()
+
+
+def band_subset():
+    """--band-subset: single-REAL-chip demonstration of the band-sliced
+    cost model (VERDICT r2 weak #3 follow-up): time fwd+bwd of ONE
+    centered (= densest) tile-row band at the share a D-device mesh
+    would assign, through the production stream path with
+    homesort.slice_band_rows. Per-band time should approach
+    fixed_layout_cost + band_share × sweep_cost — the structural 1/D.
+
+      python tools/bench_scaling.py --band-subset [--n 1200000]
+    """
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--band-subset", action="store_true")
+    ap.add_argument("--n", type=int, default=1_200_000)
+    ap.add_argument("--wh", default="1920x1080")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+    W, H = map(int, args.wh.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax import RenderConfig
+    from gsjax.bench.synth import bench_camera, bonsai_like
+    from gsjax.parallel.render_sharded import _render_band
+
+    cfg = RenderConfig(backend="stream")
+    cam = bench_camera(width=W, height=H)
+    g = bonsai_like(n=args.n, sh_degree=0)
+    tiles_y = cfg.tiles_y(H)
+
+    base = None
+    for d in args.devices:
+        band = -(-tiles_y // d)
+        ty0 = (tiles_y - band) // 2  # densest (centered) band
+
+        def loss_fn(g, ty0=ty0, band=band):
+            img, _ = _render_band(g, cam, cfg, jnp.int32(ty0), band)
+            return jnp.mean(img**2)
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        loss, _ = step(g)
+        jax.device_get(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            loss, grads = step(g)
+        jax.device_get(loss)
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        if base is None:
+            base = ms
+        print(
+            f"D={d} (band {band}/{tiles_y} rows): {ms:8.1f} ms fwd+bwd   "
+            f"vs D=1: {base / ms:4.2f}x   ideal {d}x"
+        )
+
+
+if __name__ == "__main__" and "--band-subset" in sys.argv:
+    band_subset()
+    sys.exit(0)
