@@ -200,6 +200,13 @@ def test_balanced_bands_match_and_balance(rng, mesh8):
     for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    # degenerate: D=8 over 8 tile rows -> groups 8..15 are out of image
+    # (render black, contribute nothing); loss must still match
+    step8 = make_train_step_balanced(cam, CFG, mesh8, opt)
+    tgt8 = pad_target_balanced(CFG, cam, target, 8)
+    _, _, loss8 = step8(g, opt.init(g), tgt8)
+    assert float(loss8) == pytest.approx(float(loss_c), rel=1e-5)
+
     # balance: max-device pair count strictly improves vs contiguous
     p = project(g, cam, CFG)
 
