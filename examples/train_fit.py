@@ -41,7 +41,11 @@ def main():
         optimizer=optax.adam(2e-4), log_every=50,
     )
     g_fit = state.gaussians
-    print(f"loss {loss0:.3e} → {losses[-1]:.3e} after {len(losses)} steps")
+    # fit() cycles the 4 orbit views, so per-step losses are not
+    # comparable across steps — evaluate before/after on the SAME view
+    loss1 = float(jnp.mean((render(g_fit, cams[0], cfg) - targets[0]) ** 2))
+    print(f"view-0 loss {loss0:.3e} → {loss1:.3e} after {len(losses)} steps")
+    assert loss1 < loss0, (loss0, loss1)
     write_png(out_path("fit_target.png"), targets[0])
     write_png(out_path("fit_result.png"), render(g_fit, cams[0], cfg))
 
