@@ -41,7 +41,7 @@ def main():
     opt = optax.adam(1e-3)
     step = make_train_step(cam, cfg, mesh, opt)
     target = pad_target(cfg, cam, jnp.zeros((cam.height, cam.width, 3)), n_dev)
-    g1, _opt_state, loss = step(g, opt.init(g), target)
+    g1, _opt_state, loss, aux = step(g, opt.init(g), target)
     print(f"one sharded train step: loss={float(loss):.5f}")
 
 

@@ -90,6 +90,18 @@ class RenderConfig:
     # Costs ~1.5x band-DMA traffic + VMEM; default off for speed, on in
     # the exact-compare tests.
     stream_exact_table: bool = False
+    # --- bucket-repack pair sort (render/repack.py) ---
+    # replace the global (tile, depth) lax.sort with balanced 2-D row
+    # sorts (~1.1 vs ~4 ns/elem measured, tools/probe_repack.py) + live
+    # compaction. Only the exact-footprint home-anchored path uses it.
+    pair_repack: bool = True
+    # sort-row width in lanes; each row holds a contiguous range of
+    # tiles' candidate runs, so a single tile's candidates must fit in
+    # repack_w - repack_q - ~2.3k slack (overflow is counted)
+    repack_w: int = 32768
+    # row fill target (None = 5·repack_w/8): the straddling tile at each
+    # row boundary plus block-rounding slack must fit in repack_w - Q
+    repack_q: int | None = None
     # slot-group size: each stream-kernel grid step processes this many
     # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
     # grid overhead (~82% of slots are skipped by early termination at

@@ -103,34 +103,72 @@ def render_sharded(g: Gaussians, cam: Camera, cfg: RenderConfig, mesh):
     )(g)
 
 
+#: scalar diagnostics surfaced (psum-summed over the mesh) by the train
+#: steps. Every capacity cap on the sharded path — including
+#: slice_band_rows' band_slice_cap drops, folded into n_band_overflow by
+#: _render_band — is visible to the caller: "counted, never silent"
+#: holds on the multi-chip path too (a skewed scene that overflows a
+#: band budget shows up here, not as silently truncated gradients).
+AUX_COUNTERS = (
+    "n_clamped",
+    "n_pairs",
+    "n_tile_overflow",
+    "n_pair_overflow",
+    "n_band_overflow",
+    "n_fat_overflow",
+)
+
+
+def _aux_counters(aux):
+    return {
+        k: jnp.asarray(aux.get(k, 0), jnp.int32).reshape(())
+        for k in AUX_COUNTERS
+    }
+
+
+def _image_px(cam: Camera, cfg: RenderConfig) -> int:
+    """Tile-rounded image pixel count — the loss normalizer shared by the
+    contiguous and balanced splits (padded rows are black in both render
+    and target, so only the CONSTANT matters; normalizing each split by
+    its own padding made the two losses differ whenever tiles_y % D != 0)."""
+    return (
+        cfg.tiles_y(cam.height) * cfg.tile_size
+        * cfg.tiles_x(cam.width) * cfg.tile_size
+    )
+
+
 def make_train_step(cam: Camera, cfg: RenderConfig, mesh, optimizer):
     """Build a jitted tile-sharded training step
     (render → L2 loss vs target → grads → psum → optax update).
+    Returns a step (g, opt_state, target) -> (g, opt_state, loss, aux)
+    where aux holds the AUX_COUNTERS summed over the mesh.
 
     The target image must have padded height
     `parallel.mesh.padded_height(cfg, cam.height, D)` and width
     tiles_x·tile_size (use `pad_target`)."""
     n_dev = mesh.shape[TILES_AXIS]
     band = band_rows_for(cfg, cam.height, n_dev)
-    n_px_total = n_dev * band * cfg.tile_size * cfg.tiles_x(cam.width) * cfg.tile_size
+    n_px_total = _image_px(cam, cfg)
 
     def local_loss_and_grad(g, target_band):
         d = jax.lax.axis_index(TILES_AXIS)
 
         def loss_fn(g):
-            img, _ = _render_band(g, cam, cfg, d * band, band)
-            return jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+            img, aux = _render_band(g, cam, cfg, d * band, band)
+            loss = jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+            return loss, _aux_counters(aux)
 
-        loss, grads = jax.value_and_grad(loss_fn)(g)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g)
         loss = jax.lax.psum(loss, TILES_AXIS)
         grads = jax.lax.psum(grads, TILES_AXIS)
-        return loss, grads
+        aux = jax.lax.psum(aux, TILES_AXIS)
+        return loss, grads, aux
 
     sharded_grad = shard_map(
         local_loss_and_grad,
         mesh=mesh,
         in_specs=(P(), P(TILES_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
@@ -138,10 +176,10 @@ def make_train_step(cam: Camera, cfg: RenderConfig, mesh, optimizer):
 
     @jax.jit
     def train_step(g, opt_state, target):
-        loss, grads = sharded_grad(g, target)
+        loss, grads, aux = sharded_grad(g, target)
         updates, opt_state = optimizer.update(grads, opt_state, g)
         g = optax.apply_updates(g, updates)
-        return g, opt_state, loss
+        return g, opt_state, loss, aux
 
     return train_step
 
@@ -175,36 +213,38 @@ def make_train_step_balanced(cam: Camera, cfg: RenderConfig, mesh, optimizer):
 
     n_dev = mesh.shape[TILES_AXIS]
     gband = band_rows_balanced(cfg, cam.height, n_dev)
-    # normalize by the tile-rounded IMAGE size, not the balanced padding
-    # (which grows with 2D group rounding): padding rows are black in
-    # both the render and the target, so the loss equals the contiguous
-    # split's bit-for-bit and gradients carry the same scale
-    n_px_total = (
-        cfg.tiles_y(cam.height) * cfg.tile_size
-        * cfg.tiles_x(cam.width) * cfg.tile_size
-    )
+    # normalize by the tile-rounded IMAGE size (same constant as
+    # make_train_step — _image_px): padding rows are black in both the
+    # render and the target, so the loss equals the contiguous split's
+    # bit-for-bit and gradients carry the same scale
+    n_px_total = _image_px(cam, cfg)
 
     def local_loss_and_grad(g, target_band):
         d = jax.lax.axis_index(TILES_AXIS)
 
         def loss_fn(g):
-            img0, _ = _render_band(g, cam, cfg, d * gband, gband)
-            img1, _ = _render_band(
+            img0, aux0 = _render_band(g, cam, cfg, d * gband, gband)
+            img1, aux1 = _render_band(
                 g, cam, cfg, (d + n_dev) * gband, gband
             )
             img = jnp.concatenate([img0, img1])
-            return jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+            loss = jnp.sum((img - target_band) ** 2) / (n_px_total * 3)
+            aux = jax.tree.map(
+                jnp.add, _aux_counters(aux0), _aux_counters(aux1)
+            )
+            return loss, aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(g)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g)
         loss = jax.lax.psum(loss, TILES_AXIS)
         grads = jax.lax.psum(grads, TILES_AXIS)
-        return loss, grads
+        aux = jax.lax.psum(aux, TILES_AXIS)
+        return loss, grads, aux
 
     sharded_grad = shard_map(
         local_loss_and_grad,
         mesh=mesh,
         in_specs=(P(), P(TILES_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
@@ -212,10 +252,10 @@ def make_train_step_balanced(cam: Camera, cfg: RenderConfig, mesh, optimizer):
 
     @jax.jit
     def train_step(g, opt_state, target):
-        loss, grads = sharded_grad(g, target)
+        loss, grads, aux = sharded_grad(g, target)
         updates, opt_state = optimizer.update(grads, opt_state, g)
         g = optax.apply_updates(g, updates)
-        return g, opt_state, loss
+        return g, opt_state, loss, aux
 
     return train_step
 

@@ -160,6 +160,7 @@ def expand_pairs_pallas(cols, meta, nh_pad, span: int):
         "n_clamped",
         "n_pairs",
         "ty0",
+        "n_repack_overflow",
     ],
     meta_fields=["tiles_x", "band_rows"],
 )
@@ -180,6 +181,7 @@ class TileBins:
     n_clamped: jax.Array
     n_pairs: jax.Array
     ty0: jax.Array
+    n_repack_overflow: jax.Array
     tiles_x: int
     band_rows: int
 
@@ -273,14 +275,47 @@ def build_tile_bins(
         tile2d, pid2d = expand_pairs_pallas(
             jax.lax.stop_gradient(cols), meta, nh_pad, span
         )
-        tile_i = tile2d.reshape(-1)
-        pids = pid2d.reshape(-1)
         dbits = jnp.asarray(p.depth, jnp.float32).view(jnp.int32)
         dbits = jnp.pad(dbits, (0, nh_pad - n))
-        dpair = jnp.broadcast_to(dbits[None, :], (k_slots, nh_pad)).reshape(-1)
-        tile_of, _, pid_sorted = jax.lax.sort(
-            (tile_i, dpair, pids), num_keys=3, is_stable=False
-        )
+        n_pairs = jnp.sum((tile2d != INVALID_TILE).astype(jnp.int32))
+        if cfg.pair_repack:
+            # balanced bucket-repack + 2-D row sorts + live compaction
+            # (render/repack.py): bit-identical per-tile pid sequences at
+            # ~1.1 vs ~4 ns/elem, and the compacted stream drops the
+            # ~60% culled-candidate tail before the pid windows / blend
+            from gsjax.render.repack import repack_pair_sort, resolve_repack_dims
+
+            _w, _q, rr = resolve_repack_dims(nh_pad, k_slots, cfg)
+            cap_out = rr * _w
+            if cfg.pair_cap:
+                cap_out = min(cap_out, -(-cfg.pair_cap // 128) * 128)
+            seg_row0 = getattr(layout, "seg_row0", jnp.int32(0))
+            pid_sorted, tile_of, n_over = repack_pair_sort(
+                tile2d,
+                dbits,
+                layout.seg_starts,
+                ty0,
+                seg_row0,
+                ty0 - seg_row0,
+                tiles_x,
+                band_rows,
+                layout.rows_present,
+                nh_pad,
+                k_slots,
+                span,
+                cap_out,
+                cfg,
+            )
+        else:
+            tile_i = tile2d.reshape(-1)
+            pids = pid2d.reshape(-1)
+            dpair = jnp.broadcast_to(
+                dbits[None, :], (k_slots, nh_pad)
+            ).reshape(-1)
+            tile_of, _, pid_sorted = jax.lax.sort(
+                (tile_i, dpair, pids), num_keys=3, is_stable=False
+            )
+            n_over = jnp.zeros((), jnp.int32)
         tile_starts = jnp.searchsorted(
             tile_of, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
@@ -289,8 +324,9 @@ def build_tile_bins(
             tile_starts=tile_starts,
             tile_counts=tile_starts[1:] - tile_starts[:-1],
             n_clamped=jnp.zeros((), jnp.int32),  # budgets in layout
-            n_pairs=jnp.sum((tile_i != INVALID_TILE).astype(jnp.int32)),
+            n_pairs=n_pairs,
             ty0=ty0,
+            n_repack_overflow=jnp.asarray(n_over, jnp.int32),
             tiles_x=tiles_x,
             band_rows=band_rows,
         )
@@ -409,6 +445,7 @@ def build_tile_bins(
         n_clamped=n_clamped,
         n_pairs=jnp.sum(pair_ok.astype(jnp.int32)),
         ty0=ty0,
+        n_repack_overflow=jnp.zeros((), jnp.int32),
         tiles_x=tiles_x,
         band_rows=band_rows,
     )

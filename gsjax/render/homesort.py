@@ -209,9 +209,12 @@ def _repeat_kernel(ws_ref, nc_ref, ftab_any, fbrow_any, tab_ref, keys_ref,
             tiles_x=tiles_x, tiles_y=tiles_y, span=span, h=h, ts=ts,
             alpha_min=alpha_min, t_sent=t_sent,
         )
-        cwc = [jnp.clip(c, 0.0, 127.0) for c in cwT]
-        wpa = cwc[0] * 128.0 + cwc[1]
-        wpb = cwc[2] * 128.0 + cwc[3]
+        # pack base 16384: exact in f32 up to tile coord 1023 (guarded in
+        # build_home_layout) — base 128 silently clipped/carried at
+        # tiles_x >= 128, i.e. images > 2032 px at the default tile size
+        cwc = [jnp.clip(c, 0.0, 16383.0) for c in cwT]
+        wpa = cwc[0] * 16384.0 + cwc[1]
+        wpb = cwc[2] * 16384.0 + cwc[3]
         krows = jnp.concatenate(
             [hkT, depT, wpa, wpb, jnp.zeros((4, _RPT_SUB), jnp.float32)],
             axis=0,
@@ -523,6 +526,14 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
     n = p.depth.shape[0]
     tiles_x = cfg.tiles_x(cam.width)
     tiles_y = cfg.tiles_y(cam.height)
+    if max(tiles_x, tiles_y) > 1023:
+        # windows ride the sort as base-16384 packed payloads and tile
+        # coords ride the repeat kernel as f32 values: both are exact
+        # only below 1024 tiles per axis (16,368 px at tile_size=16)
+        raise ValueError(
+            f"{tiles_x}x{tiles_y} tiles exceeds the 1023-per-axis bound "
+            "of the packed window payloads; increase tile_size"
+        )
     span = cfg.tile_span
     sg = jax.lax.stop_gradient
     mean2d, radius, depth, valid = (
@@ -630,14 +641,15 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         )
         dkey = depth_bits(jnp.concatenate([depth, tkeys[1]]))
         # per-row windows ride the big sort as two packed payload
-        # operands (wx0*128+wx1 / wy0*128+wy1, both < 2^14): unpacking
-        # the SORTED values is 1-D elementwise, where routing them
-        # through an [F, 4] / [nh, 16] table costs (8,128)-tile padding
+        # operands (wx0*16384+wx1 / wy0*16384+wy1, both < 2^24 with tile
+        # coords <= 1023 — guarded above): unpacking the SORTED values is
+        # 1-D elementwise, where routing them through an [F, 4] /
+        # [nh, 16] table costs (8,128)-tile padding
         wpa = jnp.concatenate(
-            [pwin[:, 0] * 128 + pwin[:, 1], _f2i(tkeys[2])]
+            [pwin[:, 0] * 16384 + pwin[:, 1], _f2i(tkeys[2])]
         )
         wpb = jnp.concatenate(
-            [pwin[:, 2] * 128 + pwin[:, 3], _f2i(tkeys[3])]
+            [pwin[:, 2] * 16384 + pwin[:, 3], _f2i(tkeys[3])]
         )
         nt = n + fat_cap
         nh = n + live_cap
@@ -705,7 +717,8 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
     )
     wpa_h, wpb_h = wpa_s[:nh], wpb_s[:nh]
     win = jnp.stack(
-        [wpa_h // 128, wpa_h % 128, wpb_h // 128, wpb_h % 128], axis=-1
+        [wpa_h // 16384, wpa_h % 16384, wpb_h // 16384, wpb_h % 16384],
+        axis=-1,
     )
     hs = jnp.minimum(home_sorted, t_sent - 1)
     p_home = ProjectedSplats(
@@ -772,10 +785,18 @@ def slice_band_rows(p: ProjectedSplats, layout: HomeLayout, ty0,
     n_dropped = jnp.maximum(end - start_c - cap, 0)
 
     rows_present = band_rows + 2
+    # pad with a FULL slice length of terminal entries: the slice below
+    # reads rows_present*tiles_x+1 entries from r0*tiles_x with r0 up to
+    # tiles_y, and a short pad makes dynamic_slice clamp the start by a
+    # non-multiple of tiles_x — misaligning every per-tile run for the
+    # last device of any tiles_y % D != 0 split (silent corruption, no
+    # overflow count; see tests/test_parallel.py::test_uneven_band_split)
     segp = jnp.concatenate(
         [
             layout.seg_starts,
-            jnp.full((2 * tiles_x,), layout.seg_starts[-1], jnp.int32),
+            jnp.full(
+                (rows_present * tiles_x,), layout.seg_starts[-1], jnp.int32
+            ),
         ]
     )
     seg_local = jnp.clip(

@@ -123,7 +123,7 @@ def fit(
         for s in range(steps):
             i = s % len(cameras)
             cam = cameras[i]
-            g, opt_state, loss = steps_fns[(cam.width, cam.height)](
+            g, opt_state, loss, _aux = steps_fns[(cam.width, cam.height)](
                 g, opt_state, padded[i]
             )
             losses.append(float(loss))

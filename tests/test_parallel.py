@@ -60,11 +60,11 @@ def test_sharded_train_step_decreases_loss_and_matches_grads(rng, mesh8):
     tgt = pad_target(CFG, cam, target, 8)
     opt_state = opt.init(g0)
 
-    g1, opt_state, loss0 = step(g0, opt_state, tgt)
+    g1, opt_state, loss0, aux = step(g0, opt_state, tgt)
     g1_first = g1
     losses = [float(loss0)]
     for _ in range(4):
-        g1, opt_state, loss = step(g1, opt_state, tgt)
+        g1, opt_state, loss, aux = step(g1, opt_state, tgt)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
 
@@ -73,7 +73,7 @@ def test_sharded_train_step_decreases_loss_and_matches_grads(rng, mesh8):
     mesh1 = make_mesh(1)
     step1 = make_train_step(cam, CFG, mesh1, opt)
     assert pad_target(CFG, cam, target, 1).shape == tgt.shape
-    g1_ref, _, loss0_ref = step1(g0, opt.init(g0), tgt)
+    g1_ref, _, loss0_ref, _aux = step1(g0, opt.init(g0), tgt)
     assert float(loss0_ref) == pytest.approx(float(loss0), rel=1e-5)
     for a, b in zip(jax.tree.leaves(g1_first), jax.tree.leaves(g1_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
@@ -154,11 +154,55 @@ def test_sharded_stream_grads_match_replicated(rng, mesh8):
     tgt = pad_target(cfg, cam, target, 8)
     step8 = make_train_step(cam, cfg, mesh8, opt)
     step1 = make_train_step(cam, cfg, make_mesh(1), opt)
-    g8, _, loss8 = step8(g, opt.init(g), tgt)
-    g1, _, loss1 = step1(g, opt.init(g), tgt)
+    g8, _, loss8, aux8 = step8(g, opt.init(g), tgt)
+    g1, _, loss1, _aux1 = step1(g, opt.init(g), tgt)
     assert float(loss8) == pytest.approx(float(loss1), rel=1e-5)
     for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # the train step SURFACES every capacity counter (psum over the
+    # mesh) — "counted, never silent" holds on the sharded path
+    for k in ("n_pair_overflow", "n_band_overflow", "n_tile_overflow",
+              "n_fat_overflow"):
+        assert int(aux8[k]) == 0, (k, aux8)
+
+
+def test_sharded_stream_uneven_band_split(rng, mesh8):
+    """tiles_y % n_devices != 0 with the last in-image device's band
+    overhanging the image: slice_band_rows' seg_starts slice must not
+    clamp (a short pad made dynamic_slice clamp the start by a
+    non-multiple of tiles_x, misaligning every per-tile run on that
+    device — silent corruption with n_band_overflow=0; ADVICE r3 high).
+    tiles_y=9, D=8 → band=2: device 4 renders in-image row 8 from a
+    slice that previously needed clamping."""
+    cfg = RenderConfig(
+        backend="stream",
+        chunk=32,
+        stream_band_cap=4096,
+        stream_block_tiles=3,
+        stream_dma_chunk=256,
+    )
+    g = make_random_scene(rng, n=200, spread=1.4, z_range=(3.0, 8.0))
+    cam = Camera.create(fx=120, fy=120, width=96, height=144)
+    assert cfg.tiles_y(cam.height) % 8 != 0
+    img1 = np.asarray(render(g, cam, cfg))
+    imgs = np.asarray(render_sharded(g, cam, cfg, mesh8))
+    assert np.isfinite(imgs).all()
+    np.testing.assert_allclose(imgs[: cam.height, : cam.width], img1, atol=2e-5)
+
+    # gradients too: the sharded step must match the replicated one
+    opt = optax.adam(1e-3)
+    tgt = pad_target(cfg, cam, img1, 8)
+    g8, _, loss8, aux8 = make_train_step(cam, cfg, mesh8, opt)(
+        g, opt.init(g), tgt
+    )
+    tgt1 = pad_target(cfg, cam, img1, 1)  # shorter padding than D=8
+    g1_, _, loss1, _a = make_train_step(cam, cfg, make_mesh(1), opt)(
+        g, opt.init(g), tgt1
+    )
+    assert float(loss8) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1_)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert int(aux8["n_band_overflow"]) == 0
 
 
 def test_balanced_bands_match_and_balance(rng, mesh8):
@@ -191,11 +235,11 @@ def test_balanced_bands_match_and_balance(rng, mesh8):
     mesh4 = make_mesh(4)
     step_b = make_train_step_balanced(cam, CFG, mesh4, opt)
     tgt_b = pad_target_balanced(CFG, cam, target, 4)
-    g_b, _, loss_b = step_b(g, opt.init(g), tgt_b)
+    g_b, _, loss_b, _auxb = step_b(g, opt.init(g), tgt_b)
 
     step_c = make_train_step(cam, CFG, make_mesh(1), opt)
     tgt_c = pad_target(CFG, cam, target, 1)
-    g_c, _, loss_c = step_c(g, opt.init(g), tgt_c)
+    g_c, _, loss_c, _auxc = step_c(g, opt.init(g), tgt_c)
     assert float(loss_b) == pytest.approx(float(loss_c), rel=1e-5)
     for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
@@ -204,7 +248,7 @@ def test_balanced_bands_match_and_balance(rng, mesh8):
     # (render black, contribute nothing); loss must still match
     step8 = make_train_step_balanced(cam, CFG, mesh8, opt)
     tgt8 = pad_target_balanced(CFG, cam, target, 8)
-    _, _, loss8 = step8(g, opt.init(g), tgt8)
+    _, _, loss8, _aux8 = step8(g, opt.init(g), tgt8)
     assert float(loss8) == pytest.approx(float(loss_c), rel=1e-5)
 
     # balance: max-device pair count strictly improves vs contiguous

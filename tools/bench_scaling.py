@@ -71,11 +71,11 @@ def main():
         mesh = make_mesh(d)
         step = make_train_step(cam, cfg, mesh, opt)
         target = pad_target(cfg, cam, jnp.zeros((H, W, 3), jnp.float32), d)
-        g1, st, loss = step(g, opt.init(g), target)
+        g1, st, loss, _aux = step(g, opt.init(g), target)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            g1, st, loss = step(g1, st, target)
+            g1, st, loss, _aux = step(g1, st, target)
         jax.device_get(loss)
         ms = (time.perf_counter() - t0) / args.steps * 1e3
         if base_ms is None:

@@ -81,7 +81,7 @@ step = make_train_step(cam, cfg, mesh, opt)
 opt_state = opt.init(g)
 losses = []
 for _ in range(3):
-    g, opt_state, loss = step(g, opt_state, target)
+    g, opt_state, loss, aux = step(g, opt_state, target)
     losses.append(float(jax.device_get(loss)))
 
 if pid == 0:
