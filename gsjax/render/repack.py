@@ -53,13 +53,24 @@ def _ceil(a, b):
 
 
 def resolve_repack_dims(nh_pad: int, k_slots: int, cfg):
-    """Static (W, Q, R): row width, fill target, row count. Q < W leaves
-    headroom for the tile that straddles each row boundary plus the
-    9 × 2·(G−1) block-rounding slack; R covers the worst case of
-    k_slots·nh_pad candidates at Q fill."""
+    """Static (W, Q, R): row width, assumed average fill, row count.
+
+    Rows are packed GREEDILY to capacity (each row takes whole tiles
+    while its candidate total fits W minus the 9 × 2·(G−1)
+    block-rounding slack), so Q is not a hard per-row bound — it is the
+    fill assumption that sizes the static row count: R·W is the sort
+    volume actually paid, so R tracks the candidate budget
+    (cfg.repack_cap, default the k_slots·nh_pad worst case) at Q fill.
+    A scene whose greedy packing fills rows worse than Q overflows the
+    grid far-tiles-first — counted, gated in bench."""
     w = cfg.repack_w
-    q = cfg.repack_q or (w * 5) // 8
-    r = _ceil(k_slots * nh_pad, q) + 1
+    q = cfg.repack_q or (w * 13) // 16
+    if cfg.repack_rows is not None:
+        return w, q, cfg.repack_rows
+    cap = k_slots * nh_pad
+    if cfg.repack_cap is not None:
+        cap = min(cap, cfg.repack_cap)
+    r = _ceil(cap, q) + 1
     return w, q, r
 
 
@@ -112,10 +123,28 @@ def repack_pair_sort(
         cand = cand + (seg[s1] - seg[s0])
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cand)])
 
-    # row boundaries: row r covers tiles with cum in [rQ, (r+1)Q)
-    taua = jnp.searchsorted(
-        cum[:T], jnp.arange(R + 1, dtype=jnp.int32) * Q, side="left"
-    ).astype(jnp.int32)  # [R+1], saturates at T
+    # row boundaries: GREEDY packing — each row takes whole tiles while
+    # its candidate total fits the row minus the block-rounding slack.
+    # A fixed Q-stride grid overflows wherever a dense tile (up to ~17k
+    # candidates at the 1080p bench, tools/probe_repack.py) lands on a
+    # filled row; greedy exclusion of the straddling tile caps every
+    # row's content at w_eff by construction (a single tile > w_eff
+    # still overflows — counted below). Sequential scan of R scalar
+    # searchsorteds (~1-2 µs each).
+    w_eff = W - k_slots * 2 * (_G - 1) - _G
+
+    def _bound(b, _):
+        nb = (
+            jnp.searchsorted(cum, cum[b] + w_eff, side="right").astype(
+                jnp.int32
+            )
+            - 1
+        )
+        nb = jnp.minimum(jnp.maximum(nb, b + 1), jnp.int32(T))
+        return nb, nb
+
+    _, taus = jax.lax.scan(_bound, jnp.int32(0), None, length=R)
+    taua = jnp.concatenate([jnp.zeros((1,), jnp.int32), taus])  # [R+1]
 
     # per (row, class) source block ranges
     b0s, nbs = [], []
@@ -132,6 +161,11 @@ def repack_pair_sort(
     )  # [R, K+1] exclusive
     nbtot = nbcum[:, k_slots]
     n_over = jnp.sum(jnp.maximum(nbtot - WB, 0)) * _G
+    # grid exhaustion: tiles past the last row boundary are never
+    # gathered — count their full candidate mass (greedy packing fills
+    # rows to w_eff, so this fires only when R (cfg.repack_cap / Q) is
+    # undersized for the scene)
+    n_over = n_over + (cum[T] - cum[taua[R]])
 
     # destination block j of row r → source block (class select chain)
     j = jnp.arange(WB, dtype=jnp.int32)[None, :]  # [1, WB]
@@ -144,8 +178,17 @@ def repack_pair_sort(
     used = j < jnp.minimum(nbtot, WB)[:, None]
     srcblk = jnp.where(used, srcblk, 0)
 
-    # gathers (priced per 128-lane row) + in-place payload reconstruction
-    keys = tile2d.reshape(-1, _G)[srcblk].reshape(R, W)
+    # gathers (priced per 128-lane row) + in-place payload reconstruction.
+    # The source MUST be assembled by concatenating per-class [NB, G]
+    # reshapes: a row gather from `tile2d.reshape(-1, G)` (the direct
+    # [9, NH]→[9·NB, G] reshape) CRASHES the TPU runtime at certain NH
+    # (reproduced at nh_pad=2662400/NB=20800, fine at 2703360 — an XLA
+    # lowering fault, not an OOB; /tmp repro kept in tools/probe_repack.py
+    # docstring history)
+    flat = jnp.concatenate(
+        [tile2d[c].reshape(-1, _G) for c in range(k_slots)], axis=0
+    )
+    keys = flat[srcblk].reshape(R, W)
     depth = dbits_pad.reshape(-1, _G)[srcblk % NB].reshape(R, W)
     lane = jnp.arange(_G, dtype=jnp.int32)[None, None, :]
     srcpos = srcblk[:, :, None] * _G + lane  # [R, WB, G]
@@ -193,11 +236,18 @@ def repack_pair_sort(
     in_any = jnp.arange(cap_out, dtype=jnp.int32) < dstblk[R] * _G
     keep2 = in_any & (pos_in_row < live_l)
     pad2 = in_any & (pos_in_row < livep_l)
-    # pad tile = the row's last covered tile (≥ every live tile in the
-    # row, < the next row's first) keeps the stream globally sorted; pad
-    # pid points at the attribute table's zero pad column — provably
-    # dead in the blend
-    taupad = jnp.repeat(jnp.maximum(taua[r_of + 1] - 1, 0), _G)
+    # pad tile = the row's LAST LIVE tile (not the last covered tile,
+    # which can have zero candidates — its band block might then have
+    # zero loaded extent, and the blend's sentinel-window rounds would
+    # read unloaded scratch lanes). It is >= every live tile in the row
+    # and < the next row's first live tile, so the stream stays globally
+    # sorted; pad pid (nh_pad·K) decodes to a home row past every real
+    # one — provably dead in the blend, and masked out of the pid-window
+    # bounds via sid_dead (pallas_stream.packed_pid_windows)
+    last_live = jnp.take_along_axis(
+        keys, jnp.maximum(live - 1, 0)[:, None], axis=1
+    )[:, 0]  # [R]; garbage (INVALID) only when live == 0 ⇒ no pads
+    taupad = jnp.repeat(jnp.maximum(last_live[r_of], 0), _G)
     tile_out = jnp.where(keep2, tile_c, jnp.where(pad2, taupad, inval))
     pid_out = jnp.where(keep2, pid_c, pid_dead)
     return pid_out, tile_out, n_over

@@ -132,7 +132,10 @@ def test_band_slice_shrinks_sorted_work(rng):
     )
     # the sliced pair stream (the sort's static size) shrinks with the cap
     assert bins_b.pid_sorted.shape[0] < bins_full.pid_sorted.shape[0]
-    assert bins_b.pid_sorted.shape[0] <= 9 * (-(-cap // 4096) * 4096)
+    from gsjax.render.repack import resolve_repack_dims
+
+    w, _, r = resolve_repack_dims(-(-cap // 4096) * 4096, 9, cfg)
+    assert bins_b.pid_sorted.shape[0] <= r * w
 
 
 def test_sharded_stream_grads_match_replicated(rng, mesh8):

@@ -133,34 +133,73 @@ def band_subset():
     from gsjax.bench.synth import bench_camera, bonsai_like
     from gsjax.parallel.render_sharded import _render_band
 
-    cfg = RenderConfig(backend="stream")
+    # generous shard-budget slacks: single-band probes cover the DENSEST
+    # band, which on the centered bench scene holds several x its
+    # proportional splat share
+    cfg = RenderConfig(
+        backend="stream", band_prefilter_slack=5.0, band_slice_slack=4.0
+    )
     cam = bench_camera(width=W, height=H)
     g = bonsai_like(n=args.n, sh_degree=0)
     tiles_y = cfg.tiles_y(H)
 
+    def time_band(band, ty0s):
+        """One compile (traced ty0), timed at each band origin. Returns
+        per-origin ms and asserts every run was overflow-free."""
+
+        def loss_fn(g, ty0, band=band):
+            img, aux = _render_band(g, cam, cfg, ty0, band)
+            ovf = (
+                aux["n_pair_overflow"]
+                + aux["n_band_overflow"]
+                + aux["n_fat_overflow"]
+            )
+            return jnp.mean(img**2), ovf
+
+        step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        out = []
+        for ty0 in ty0s:
+            (loss, ovf), _ = step(g, jnp.int32(ty0))
+            jax.device_get(loss)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                (loss, ovf), _ = step(g, jnp.int32(ty0))
+            jax.device_get(loss)
+            ms = (time.perf_counter() - t0) / args.steps * 1e3
+            assert int(jax.device_get(ovf)) == 0, (
+                f"overflow at ty0={ty0} band={band}"
+            )
+            out.append(ms)
+        return out
+
     base = None
     for d in args.devices:
         band = -(-tiles_y // d)
-        ty0 = (tiles_y - band) // 2  # densest (centered) band
-
-        def loss_fn(g, ty0=ty0, band=band):
-            img, _ = _render_band(g, cam, cfg, jnp.int32(ty0), band)
-            return jnp.mean(img**2)
-
-        step = jax.jit(jax.value_and_grad(loss_fn))
-        loss, _ = step(g)
-        jax.device_get(loss)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            loss, grads = step(g)
-        jax.device_get(loss)
-        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        ty0s = [min(i * band, tiles_y - band) for i in range(d)]
+        ms = time_band(band, ty0s)
+        worst = max(ms)
         if base is None:
-            base = ms
+            base = worst
         print(
-            f"D={d} (band {band}/{tiles_y} rows): {ms:8.1f} ms fwd+bwd   "
-            f"vs D=1: {base / ms:4.2f}x   ideal {d}x"
+            f"D={d} contiguous (band {band}/{tiles_y} rows): "
+            f"worst-device {worst:7.1f} ms  sum {sum(ms):7.1f}  "
+            f"speedup {base / worst:4.2f}x (ideal {d}x, "
+            f"eff {base / worst / d * 100:4.0f}%)  per-band "
+            + " ".join(f"{m:.0f}" for m in ms)
         )
+        if d > 1:
+            # balanced (i, i+d) pairing over 2d half-size groups
+            gband = -(-tiles_y // (2 * d))
+            gty0s = [min(i * gband, tiles_y - gband) for i in range(2 * d)]
+            gms = time_band(gband, gty0s)
+            dev_ms = [gms[i] + gms[i + d] for i in range(d)]
+            worst_b = max(dev_ms)
+            print(
+                f"D={d} balanced   (2x{gband} rows):        "
+                f"worst-device {worst_b:7.1f} ms  sum {sum(gms):7.1f}  "
+                f"speedup {base / worst_b:4.2f}x (eff "
+                f"{base / worst_b / d * 100:4.0f}%)"
+            )
 
 
 if __name__ == "__main__" and "--band-subset" in sys.argv:

@@ -224,7 +224,16 @@ def profile_stream():
     t, (pid, starts, nd) = timeit(f_clip, bins, reps=args.reps)
     print(f"clip stream         : {t:8.2f} ms   S={pid.shape[0]}")
 
-    f_slots = jax.jit(lambda pid, starts: packed_pid_windows(pid, starts, cfg))
+    # repack pads carry sid = nh_pad; mask them out of the window bounds
+    # exactly like composite_tiles_stream does
+    sid_dead = None
+    if cfg.pair_repack and not cfg.footprint_clamp:
+        from gsjax.render.binning import _EXPAND_R
+
+        sid_dead = -(-int(p.depth.shape[0]) // _EXPAND_R) * _EXPAND_R
+    f_slots = jax.jit(
+        lambda pid, starts: packed_pid_windows(pid, starts, cfg, sid_dead)
+    )
     t, (pidwin, tile_of, cbase) = timeit(f_slots, pid, starts, reps=args.reps)
     print(f"pid windows         : {t:8.2f} ms   NCB={pidwin.shape[0]}")
 
