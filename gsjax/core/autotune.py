@@ -218,3 +218,157 @@ def derive_caps(
         stream_band_cap=band_cap,
         stream_block_tiles=blkw,
     )
+
+
+def _rect_y_ranges(g, cam, cfg: RenderConfig):
+    """Per-splat footprint tile-row ranges (host side)."""
+    from gsjax.render.common import tile_rect
+    from gsjax.render.pipeline import _project_any
+
+    tiles_x = cfg.tiles_x(cam.width)
+    tiles_y = cfg.tiles_y(cam.height)
+
+    @jax.jit
+    def pass_(g):
+        p = _project_any(g, cam, cfg)
+        _, y0, _, y1 = tile_rect(
+            p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size
+        )
+        on = p.valid & (p.radius > 0)
+        # push non-relevant splats out of every band's range
+        return (
+            jnp.where(on, y0, tiles_y + 4),
+            jnp.where(on, y1, tiles_y + 4),
+        )
+
+    y0, y1 = pass_(g)
+    return np.asarray(jax.device_get(y0)), np.asarray(jax.device_get(y1))
+
+
+def derive_row_cuts(g, cam, cfg: RenderConfig, n_devices: int):
+    """Equal-CONTENT tile-row partition: cuts [D+1] so every band holds
+    ≈ the same per-tile candidate mass (the quantity per-device cost
+    actually follows under rows_live-bounded static shapes). Use with
+    make_train_step_equalized + derive_shard_caps(bands=...)."""
+    m = measure_occupancy(g, cam, cfg)
+    row_cand = m["cand"].reshape(m["tiles_y"], m["tiles_x"]).sum(1)
+    cum = np.concatenate([[0], np.cumsum(row_cand)])
+    total = cum[-1]
+    cuts = [0]
+    for d in range(1, n_devices):
+        c = int(np.searchsorted(cum, total * d / n_devices))
+        c = min(max(c, cuts[-1] + 1), m["tiles_y"] - (n_devices - d))
+        cuts.append(c)
+    cuts.append(m["tiles_y"])
+    return cuts
+
+
+def derive_shard_caps(
+    g,
+    cam,
+    cfg: RenderConfig,
+    band_rows: int = None,
+    origins=None,
+    bands=None,
+    slack: float = 1.25,
+) -> RenderConfig:
+    """Measure the WORST band of size `band_rows` over the given origins
+    (default: every ty0 a contiguous or balanced split can produce) and
+    set the tile-sharded path's static budgets exactly:
+
+      * shard_prefilter_cap — max splats whose rect reaches any band
+      * shard_slice_cap     — max home rows in any band's halo range
+      * pair_cap            — full-image live pairs scaled by the worst
+                              band's candidate share (gate-checked)
+
+    The slack heuristics this replaces either overflow on skewed scenes
+    or saturate at full scene size (no 1/D shrink); measured caps give
+    every device the worst band's actual footprint, which IS the skew.
+
+    Pass `bands` = [(ty0, rows), ...] for a non-uniform (equal-content)
+    partition; otherwise a uniform `band_rows` grid (optionally with
+    explicit `origins`)."""
+    m = measure_occupancy(g, cam, cfg)
+    tiles_y = m["tiles_y"]
+    tiles_x = m["tiles_x"]
+    if bands is None:
+        if origins is None:
+            origins = sorted(
+                {min(i * band_rows, tiles_y - band_rows)
+                 for i in range(-(-tiles_y // band_rows))}
+            )
+        bands = [(ty0, band_rows) for ty0 in origins]
+    y0, y1 = _rect_y_ranges(g, cam, cfg)
+    y0s = np.sort(y0)
+    y1s = np.sort(y1)
+    n = y0.shape[0]
+
+    pref_cap = 0
+    for ty0, rows_b in bands:
+        # relevant = (y1 > ty0 - 1) & (y0 < ty0 + rows_b + 1)
+        ends_before = np.searchsorted(y1s, ty0 - 1, side="right")
+        starts_after = n - np.searchsorted(
+            y0s, ty0 + rows_b + 1, side="left"
+        )
+        pref_cap = max(pref_cap, n - ends_before - starts_after)
+    pref_cap = _round_up(max(int(pref_cap * slack), 4096), 4096)
+
+    # home rows + candidate share per band (from the FULL-image layout;
+    # the prefiltered per-band layout has at most these rows)
+    seg = m["seg"]
+    cand = m["cand"]
+    row_cand = cand.reshape(tiles_y, tiles_x).sum(1)
+    slice_cap = 0
+    worst_share = 0.0
+    for ty0, rows_b in bands:
+        r0 = max(ty0 - 1, 0)
+        r1 = min(ty0 + rows_b + 1, tiles_y)
+        rows = int(seg[r1 * tiles_x] - seg[r0 * tiles_x])
+        slice_cap = max(slice_cap, rows)
+        worst_share = max(
+            worst_share,
+            float(row_cand[ty0 : ty0 + rows_b].sum())
+            / max(float(cand.sum()), 1.0),
+        )
+    # the prefiltered layout appends its own live_cap of copy rows; the
+    # slice cap must admit the band's rows of THAT layout — bound it by
+    # the full-image band rows + proportional copy slack
+    slice_cap = _round_up(max(int(slice_cap * slack) + 8192, 8192), 4096)
+
+    pair_cap = _round_up(
+        int(m["n_pairs"] * min(worst_share * slack * 1.15, 1.0)) + 65536,
+        128,
+    )
+
+    # the full-image caps (fat enumeration, repack rows) must ALSO scale
+    # to the worst band, or the band's homesort and repack sort run at
+    # full-scene size regardless of the prefilter/slice (measured: the
+    # D=8 band's homesort cost MORE than the full scene's with the
+    # full-image fat caps left in place — render/DESIGN.md r4)
+    pref_share = min(pref_cap / max(n, 1), 1.0)
+    fat_cap = cfg.fat_cap
+    if fat_cap is not None:
+        fat_cap = _round_up(max(int(fat_cap * pref_share * slack), 8192), 8192)
+        fat_cap = min(fat_cap, (1 << 24) - 8192)
+    fat_live_cap = cfg.fat_live_cap
+    if fat_live_cap is not None:
+        fat_live_cap = _round_up(
+            max(int(fat_live_cap * pref_share * slack), 4096), 4096
+        )
+    # repack grid: None → resolve_repack_dims sizes R from the SLICED
+    # nh_pad, which already scales with the band. Sizing from owned
+    # content alone under-counts: the slice's static cap admits
+    # neighbor-band rows whose (dead, band-check-culled) candidates
+    # still occupy gather lanes (measured overflow at the equalized
+    # D=8 center band)
+    repack_rows = None
+
+    return dataclasses.replace(
+        cfg,
+        shard_prefilter_cap=pref_cap,
+        shard_slice_cap=slice_cap,
+        pair_cap=pair_cap,
+        fat_cap=fat_cap,
+        fat_live_cap=fat_live_cap,
+        repack_rows=repack_rows,
+    )

@@ -123,6 +123,14 @@ class RenderConfig:
     # in n_band_overflow and asserted zero in tests/dryrun
     band_prefilter_slack: float = 2.5
     band_slice_slack: float = 2.0
+    # exact static overrides (autotune.derive_shard_caps measures the
+    # worst band of a given size and sets these): splats kept by the
+    # prefilter / home rows kept by the slice. None = the slack
+    # heuristics above. On skewed scenes the heuristics either overflow
+    # (slack too small) or saturate at full scene size (slack large
+    # enough for the dense center band = no 1/D shrink at all)
+    shard_prefilter_cap: int | None = None
+    shard_slice_cap: int | None = None
     # slot-group size: each stream-kernel grid step processes this many
     # consecutive same-tile chunk slots, amortizing the ~0.5 µs per-step
     # grid overhead (~82% of slots are skipped by early termination at

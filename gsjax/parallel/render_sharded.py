@@ -39,9 +39,18 @@ from gsjax.render.composite import composite_tiles
 from gsjax.render.project import project
 
 
-def _render_band(g, cam, cfg, ty0, band):
+def _render_band(g, cam, cfg, ty0, band, rows_live=None):
     """Render one tile-row band [ty0, ty0+band): the per-device body of
     the sharded render/train step.
+
+    `rows_live` (traced, default band): the device's OWNED row count
+    under an equal-content row-cut split — prefilter, slice and pair
+    expansion bound their content to [ty0, ty0+rows_live) while every
+    shape stays `band`-static, so per-device cost tracks the owned
+    CONTENT share (~1/D for equal-content cuts) instead of the worst
+    equal-rows band (measured: with static worst-band caps both D=2
+    bands cost the same 339 ms regardless of content — shapes, not
+    work, set the time).
 
     Stream path: the (home, depth) sort itself is replicated (every
     device needs the full layout to find its band), but the layout is
@@ -67,6 +76,8 @@ def _render_band(g, cam, cfg, ty0, band):
 
         tiles_y = cfg.tiles_y(cam.height)
         tiles_x = cfg.tiles_x(cam.width)
+        if rows_live is None:
+            rows_live = band
         p = project(g, cam, cfg)
         n_pref = jnp.zeros((), jnp.int32)
         if band < tiles_y:
@@ -74,21 +85,25 @@ def _render_band(g, cam, cfg, ty0, band):
             # reach this band BEFORE the (home, depth) sort, so the
             # whole layout build scales ~1/D instead of replicating the
             # full-scene prologue on every device
-            cap_n = band_prefilter_cap(
+            cap_n = cfg.shard_prefilter_cap or band_prefilter_cap(
                 p.depth.shape[0], tiles_y, band, cfg.band_prefilter_slack
             )
+            cap_n = min(cap_n, -(-p.depth.shape[0] // 4096) * 4096)
             p, n_pref = band_prefilter(
-                p, ty0, band, tiles_y, tiles_x, cap_n, cfg
+                p, ty0, rows_live, tiles_y, tiles_x, cap_n, cfg
             )
         p, layout = build_home_layout(p, cam, cfg)
         n_sliced = jnp.zeros((), jnp.int32)
         if band < tiles_y:
-            cap = band_slice_cap(
+            cap = cfg.shard_slice_cap or band_slice_cap(
                 layout.perm.shape[0], tiles_y, band, cfg.band_slice_slack
             )
-            p, layout, n_sliced = slice_band_rows(p, layout, ty0, band, cap)
+            p, layout, n_sliced = slice_band_rows(
+                p, layout, ty0, band, cap, rows_live
+            )
         bins = build_tile_bins(
-            p, cam, cfg, ty0=ty0, band_rows=band, anchor="home", layout=layout
+            p, cam, cfg, ty0=ty0, band_rows=band, anchor="home",
+            layout=layout, rows_live=rows_live,
         )
         img, aux = composite_tiles_stream(p, layout, bins, cam, cfg)
         aux["n_band_overflow"] = aux["n_band_overflow"] + n_sliced + n_pref
@@ -203,6 +218,94 @@ def make_train_step(cam: Camera, cfg: RenderConfig, mesh, optimizer):
 def pad_target(cfg: RenderConfig, cam: Camera, target, n_devices: int):
     """Zero-pad a [H, W, 3] target to the sharded render's padded shape."""
     ph = padded_height(cfg, cam.height, n_devices)
+    pw = cfg.tiles_x(cam.width) * cfg.tile_size
+    return jnp.pad(
+        jnp.asarray(target, jnp.float32),
+        ((0, ph - target.shape[0]), (0, pw - target.shape[1]), (0, 0)),
+    )
+
+
+# --------------------------------------------------------------------------
+# equal-CONTENT band assignment (variable rows per device)
+# --------------------------------------------------------------------------
+
+
+def make_train_step_equalized(cam: Camera, cfg: RenderConfig, mesh,
+                              optimizer, row_cuts):
+    """Tile-sharded training step over an EQUAL-CONTENT row partition:
+    device d owns tile rows [row_cuts[d], row_cuts[d+1]) — cuts chosen
+    (autotune.derive_row_cuts) so every band holds ≈ the same candidate
+    mass. All devices run one static program sized for the largest
+    band's ROW count, but the prefilter/slice/expansion bound their
+    content to each device's owned rows (rows_live), so per-device cost
+    tracks the ~1/D content share — on skewed scenes the equal-ROWS
+    split pins every device to the dense center band's static cost
+    (measured 57% efficiency ceiling at D=2; see render/DESIGN.md r4).
+
+    The loss masks rows beyond each device's owned range, so the psum
+    over devices equals the whole-image loss exactly (each pixel row is
+    owned by exactly one device); `target` must be the pad_target_rows
+    padded full image, replicated."""
+    import numpy as np
+
+    cuts = [int(c) for c in row_cuts]
+    n_dev = mesh.shape[TILES_AXIS]
+    assert len(cuts) == n_dev + 1
+    rows_d = [cuts[i + 1] - cuts[i] for i in range(n_dev)]
+    band_max = max(rows_d)
+    ts = cfg.tile_size
+    n_px_total = _image_px(cam, cfg)
+    ty0s = jnp.asarray(cuts[:-1], jnp.int32)
+    livs = jnp.asarray(rows_d, jnp.int32)
+
+    def local_loss_and_grad(g, target_full):
+        d = jax.lax.axis_index(TILES_AXIS)
+        ty0 = ty0s[d]
+        rows_live = livs[d]
+        trow = jnp.arange(band_max * ts, dtype=jnp.int32)
+        own = (trow < rows_live * ts)[:, None, None]
+        tband = jax.lax.dynamic_slice_in_dim(
+            target_full, ty0 * ts, band_max * ts, axis=0
+        )
+
+        def loss_fn(g):
+            img, aux = _render_band(g, cam, cfg, ty0, band_max, rows_live)
+            loss = jnp.sum(jnp.where(own, (img - tband) ** 2, 0.0)) / (
+                n_px_total * 3
+            )
+            return loss, _aux_counters(aux)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g)
+        loss = jax.lax.psum(loss, TILES_AXIS)
+        grads = jax.lax.psum(grads, TILES_AXIS)
+        aux = jax.lax.psum(aux, TILES_AXIS)
+        return loss, grads, aux
+
+    sharded_grad = shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    import optax
+
+    @jax.jit
+    def train_step(g, opt_state, target):
+        loss, grads, aux = sharded_grad(g, target)
+        updates, opt_state = optimizer.update(grads, opt_state, g)
+        g = optax.apply_updates(g, updates)
+        return g, opt_state, loss, aux
+
+    return train_step
+
+
+def pad_target_rows(cfg: RenderConfig, cam: Camera, target, band_max: int):
+    """Zero-pad a [H, W, 3] target to tile-rounded width and
+    (tiles_y + band_max) tile rows of height, so every device's static
+    band window slices in-range."""
+    ph = (cfg.tiles_y(cam.height) + band_max) * cfg.tile_size
     pw = cfg.tiles_x(cam.width) * cfg.tile_size
     return jnp.pad(
         jnp.asarray(target, jnp.float32),

@@ -191,7 +191,7 @@ def expand_home_pairs(p, layout, ty0, band_rows: int, tiles_x: int, cfg):
     meta = jnp.stack(
         [
             jnp.asarray(ty0, jnp.int32),
-            jnp.int32(band_rows),
+            jnp.asarray(band_rows, jnp.int32),  # may be traced (rows_live)
             jnp.int32(tiles_x),
             jnp.int32(cfg.tile_size),
         ]
@@ -247,6 +247,7 @@ def build_tile_bins(
     band_rows: int = None,
     anchor: str = "rect",
     layout=None,
+    rows_live=None,
 ) -> TileBins:
     """Bin into the tile rows [ty0, ty0 + band_rows) — the whole image by
     default. `ty0` may be a traced value (each device of a tile-sharded
@@ -287,8 +288,13 @@ def build_tile_bins(
     if anchor == "home" and layout is not None and not cfg.footprint_clamp:
         if span % 2 != 1:
             raise ValueError("anchor='home' requires an odd tile_span")
+        # rows_live (traced) bounds the expansion's band check to the
+        # device's OWNED rows under an equal-content row-cut split;
+        # shapes stay band_rows-static (tiles beyond emit no pairs)
         tile2d, pid2d, dbits, nh_pad = expand_home_pairs(
-            p, layout, ty0, band_rows, tiles_x, cfg
+            p, layout, ty0,
+            band_rows if rows_live is None else rows_live,
+            tiles_x, cfg,
         )
         n_pairs = jnp.sum((tile2d != INVALID_TILE).astype(jnp.int32))
         if cfg.pair_repack:

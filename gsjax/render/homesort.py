@@ -793,7 +793,7 @@ def band_prefilter_cap(n: int, tiles_y: int, band_rows: int,
     return min(-(-n // 4096) * 4096, max(cap, 4096))
 
 
-def band_prefilter(p: ProjectedSplats, ty0, band_rows: int, tiles_y: int,
+def band_prefilter(p: ProjectedSplats, ty0, band_rows, tiles_y: int,
                    tiles_x: int, cap_n: int, cfg: RenderConfig):
     """Select the splats whose footprint rect can reach the tile-row band
     [ty0 − 1, ty0 + band_rows + 1) and compact them to a static [cap_n]
@@ -806,7 +806,9 @@ def band_prefilter(p: ProjectedSplats, ty0, band_rows: int, tiles_y: int,
 
     Returns (p_band [cap_n], n_dropped). Splats beyond cap_n are dropped
     far-index-first and COUNTED; gradients flow back through a gather
-    VJP (inverse positions), never a scatter-add."""
+    VJP (inverse positions), never a scatter-add. `band_rows` may be
+    TRACED (the equal-content row-cut split gives each device a
+    different live row count under one static program)."""
     n = p.depth.shape[0]
     sg = jax.lax.stop_gradient
     ty0 = jnp.asarray(ty0, jnp.int32)
@@ -873,7 +875,7 @@ def band_slice_cap(nh: int, tiles_y: int, band_rows: int,
 
 
 def slice_band_rows(p: ProjectedSplats, layout: HomeLayout, ty0,
-                    band_rows: int, cap: int):
+                    band_rows: int, cap: int, rows_live=None):
     """Restrict the home layout to the tile-row band [ty0, ty0+band_rows)
     plus its one-row halo — the rows that can emit pairs into the band.
     They are CONTIGUOUS in the (home, depth) order, so this is one
@@ -888,13 +890,20 @@ def slice_band_rows(p: ProjectedSplats, layout: HomeLayout, ty0,
     `cap` is the static row budget (see band_slice_cap); rows beyond it
     are dropped far-end-first and counted in the returned n_dropped.
     Rows outside the band that ride along (halo slack, clamp shift) are
-    masked by binning's band check and contribute nothing."""
+    masked by binning's band check and contribute nothing.
+
+    `rows_live` (traced, default band_rows): the device's OWNED row
+    count under an equal-content row-cut split — only rows
+    [ty0 − 1, ty0 + rows_live + 1) are kept, so the kept content tracks
+    the owned share while shapes stay band_rows-static."""
     tiles_x, tiles_y = layout.tiles_x, layout.tiles_y
     nh = layout.perm.shape[0]
     cap = min(cap, nh)
     ty0 = jnp.asarray(ty0, jnp.int32)
+    if rows_live is None:
+        rows_live = band_rows
     r0 = jnp.clip(ty0 - 1, 0, tiles_y)
-    r1 = jnp.clip(ty0 + band_rows + 1, 0, tiles_y)
+    r1 = jnp.clip(ty0 + jnp.asarray(rows_live, jnp.int32) + 1, 0, tiles_y)
     start = layout.seg_starts[r0 * tiles_x]
     end = layout.seg_starts[r1 * tiles_x]
     start_c = jnp.minimum(start, jnp.maximum(nh - cap, 0))

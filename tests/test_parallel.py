@@ -272,3 +272,45 @@ def test_balanced_bands_match_and_balance(rng, mesh8):
     ]
     assert sum(bal) == sum(contig)
     assert max(bal) < max(contig), (max(bal), max(contig))
+
+
+def test_equalized_row_cuts_match_replicated(rng, mesh8):
+    """The equal-CONTENT row-cut step (variable owned rows per device,
+    one static program, rows_live-bounded content) produces the SAME
+    loss and gradients as the replicated step — owned-row masking
+    partitions the image exactly, and the traced live bounds only cull
+    work that contributes nothing."""
+    from gsjax.parallel.render_sharded import (
+        make_train_step_equalized,
+        pad_target_rows,
+    )
+
+    cfg = RenderConfig(
+        backend="stream",
+        chunk=32,
+        stream_band_cap=4096,
+        stream_block_tiles=3,
+        stream_dma_chunk=256,
+    )
+    g = make_random_scene(rng, n=150, spread=1.2, z_range=(3.0, 8.0))
+    cam = _cam()  # 96x128 -> 8 tile rows
+    target = np.asarray(render(g, cam, cfg))
+    opt = optax.adam(1e-3)
+    # deliberately uneven cuts over 8 rows / 8 devices won't fit; use 4
+    # devices x {1..3} rows
+    mesh4 = make_mesh(4)
+    cuts = [0, 3, 4, 6, 8]
+    band_max = 3
+    step_eq = make_train_step_equalized(cam, cfg, mesh4, opt, cuts)
+    tgt = pad_target_rows(cfg, cam, target, band_max)
+    g_eq, _, loss_eq, aux_eq = step_eq(g, opt.init(g), tgt)
+
+    step1 = make_train_step(cam, cfg, make_mesh(1), opt)
+    tgt1 = pad_target(cfg, cam, target, 1)
+    g1, _, loss1, _ = step1(g, opt.init(g), tgt1)
+    assert float(loss_eq) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g_eq), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for k in ("n_pair_overflow", "n_band_overflow", "n_tile_overflow",
+              "n_fat_overflow"):
+        assert int(aux_eq[k]) == 0, (k, dict(aux_eq))

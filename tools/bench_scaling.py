@@ -133,22 +133,25 @@ def band_subset():
     from gsjax.bench.synth import bench_camera, bonsai_like
     from gsjax.parallel.render_sharded import _render_band
 
-    # generous shard-budget slacks: single-band probes cover the DENSEST
-    # band, which on the centered bench scene holds several x its
-    # proportional splat share
-    cfg = RenderConfig(
-        backend="stream", band_prefilter_slack=5.0, band_slice_slack=4.0
-    )
+    from gsjax.core.autotune import derive_caps, derive_shard_caps
+
     cam = bench_camera(width=W, height=H)
     g = bonsai_like(n=args.n, sh_degree=0)
-    tiles_y = cfg.tiles_y(H)
+    # measured caps: full-image budgets once, then per-band-size worst-band
+    # shard budgets (the slack heuristics either overflow on this skewed
+    # scene or saturate at full scene size)
+    base_cfg = derive_caps(g, cam, RenderConfig(backend="stream"))
+    tiles_y = base_cfg.tiles_y(H)
 
-    def time_band(band, ty0s):
-        """One compile (traced ty0), timed at each band origin. Returns
-        per-origin ms and asserts every run was overflow-free."""
+    def time_band(cfg, band, ty0s, lives=None):
+        """One compile (traced ty0 + rows_live), timed at each band
+        origin. Returns per-origin ms and asserts every run was
+        overflow-free."""
+        if lives is None:
+            lives = [band] * len(ty0s)
 
-        def loss_fn(g, ty0, band=band):
-            img, aux = _render_band(g, cam, cfg, ty0, band)
+        def loss_fn(g, ty0, live, band=band):
+            img, aux = _render_band(g, cam, cfg, ty0, band, live)
             ovf = (
                 aux["n_pair_overflow"]
                 + aux["n_band_overflow"]
@@ -158,12 +161,12 @@ def band_subset():
 
         step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
         out = []
-        for ty0 in ty0s:
-            (loss, ovf), _ = step(g, jnp.int32(ty0))
+        for ty0, live in zip(ty0s, lives):
+            (loss, ovf), _ = step(g, jnp.int32(ty0), jnp.int32(live))
             jax.device_get(loss)
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                (loss, ovf), _ = step(g, jnp.int32(ty0))
+                (loss, ovf), _ = step(g, jnp.int32(ty0), jnp.int32(live))
             jax.device_get(loss)
             ms = (time.perf_counter() - t0) / args.steps * 1e3
             assert int(jax.device_get(ovf)) == 0, (
@@ -176,7 +179,13 @@ def band_subset():
     for d in args.devices:
         band = -(-tiles_y // d)
         ty0s = [min(i * band, tiles_y - band) for i in range(d)]
-        ms = time_band(band, ty0s)
+        cfg_d = (
+            derive_shard_caps(g, cam, base_cfg, band) if d > 1 else base_cfg
+        )
+        print(f"# D={d} caps: prefilter={cfg_d.shard_prefilter_cap} "
+              f"slice={cfg_d.shard_slice_cap} pairs={cfg_d.pair_cap}",
+              flush=True)
+        ms = time_band(cfg_d, band, ty0s)
         worst = max(ms)
         if base is None:
             base = worst
@@ -188,10 +197,35 @@ def band_subset():
             + " ".join(f"{m:.0f}" for m in ms)
         )
         if d > 1:
+            # equal-CONTENT row cuts: variable owned rows, one static
+            # program at band_max rows, content bounded by rows_live
+            from gsjax.core.autotune import derive_row_cuts
+
+            cuts = derive_row_cuts(g, cam, base_cfg, d)
+            rows_d = [cuts[i + 1] - cuts[i] for i in range(d)]
+            band_max = max(rows_d)
+            bands = list(zip(cuts[:-1], rows_d))
+            cfg_e = derive_shard_caps(g, cam, base_cfg, bands=bands)
+            print(f"# D={d} equalized cuts={cuts} caps: "
+                  f"prefilter={cfg_e.shard_prefilter_cap} "
+                  f"slice={cfg_e.shard_slice_cap} pairs={cfg_e.pair_cap}",
+                  flush=True)
+            ems = time_band(cfg_e, band_max, cuts[:-1], rows_d)
+            worst_e = max(ems)
+            print(
+                f"D={d} equal-content (rows {rows_d}):   "
+                f"worst-device {worst_e:7.1f} ms  sum {sum(ems):7.1f}  "
+                f"speedup {base / worst_e:4.2f}x (eff "
+                f"{base / worst_e / d * 100:4.0f}%)  per-band "
+                + " ".join(f"{m:.0f}" for m in ems),
+                flush=True,
+            )
+        if d > 1 and "--balanced" in sys.argv:
             # balanced (i, i+d) pairing over 2d half-size groups
             gband = -(-tiles_y // (2 * d))
             gty0s = [min(i * gband, tiles_y - gband) for i in range(2 * d)]
-            gms = time_band(gband, gty0s)
+            cfg_g = derive_shard_caps(g, cam, base_cfg, gband)
+            gms = time_band(cfg_g, gband, gty0s)
             dev_ms = [gms[i] + gms[i + d] for i in range(d)]
             worst_b = max(dev_ms)
             print(
