@@ -68,6 +68,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from gsjax.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()  # 57 s first compile → ~11 s on re-runs
+
     from gsjax import RenderConfig, render
     from gsjax.bench.synth import bench_camera, bonsai_like, garden_like
 

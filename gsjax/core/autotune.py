@@ -193,20 +193,28 @@ def derive_caps(
     blkw = cfg.stream_block_tiles
     dmach = cfg.stream_dma_chunk
     vmem_rows = 48 if cfg.stream_exact_table else 32
-    # bwd VMEM: band (vmem_rows bf16) + dcand + stage (16 f32 each)
-    cap_budget = (14 * 2**20) // (vmem_rows * 2 + 2 * 16 * 4)
+    # bwd VMEM: band (vmem_rows bf16) + dcand + stage (16 f32 each) per
+    # lane = (2·vmem_rows + 128) B/row; ~2.5 MB of the 16 goes to block
+    # double-buffers + kernel stack (measured: 61440 rows at 48-row
+    # tables = 16.07M > the 16M scoped limit — a 14 MB budget was 76 KB
+    # short), so budget 12.5 MB for the cap-proportional part
+    cap_budget = (25 * 2**19) // (vmem_rows * 2 + 2 * 16 * 4)
+    cap_budget = (cap_budget // dmach) * dmach
     while True:
         worst = _band_worst_block(seg, m["tiles_x"], m["tiles_y"], blkw, dmach)
-        band_cap = _round_up(int(worst * min(slack, 1.25)), dmach)
-        if band_cap <= cap_budget or blkw <= 2:
+        need = _round_up(int(worst), dmach)
+        if need <= cap_budget or blkw <= 2:
             break
         blkw -= 1
-    if band_cap > cap_budget:
+    if need > cap_budget:
         raise ValueError(
-            f"band scratch requirement {band_cap} rows exceeds the VMEM "
+            f"band scratch requirement {need} rows exceeds the VMEM "
             f"budget ({cap_budget}) even at stream_block_tiles=2; reduce "
             f"stream_dma_chunk or the scene density"
         )
+    band_cap = min(
+        _round_up(int(worst * min(slack, 1.25)), dmach), cap_budget
+    )
 
     return dataclasses.replace(
         cfg,
