@@ -32,6 +32,7 @@ the TPU-native cost of static shapes, paid once per scene.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -48,32 +49,57 @@ def _round_up(x, m):
     return _ceil(int(x), m) * m
 
 
-def measure_occupancy(g, cam, cfg: RenderConfig):
-    """One measuring pass. Returns a dict of host-side occupancy facts."""
+@partial(jax.jit, static_argnums=(2,))
+def _measure_pass(g, cam, cfg: RenderConfig):
+    """Device half of measure_occupancy. `cam` is a TRACED pytree (its
+    width/height are static meta), so one compile covers every view of an
+    orbit trajectory — the per-view cap derivation the orbit headline
+    needs would otherwise recompile the whole prologue 30 times."""
     from gsjax.render.binning import INVALID_TILE, expand_home_pairs
+    from gsjax.render.common import tile_rect
     from gsjax.render.homesort import build_home_layout
     from gsjax.render.pipeline import _project_any
 
     tiles_x = cfg.tiles_x(cam.width)
     tiles_y = cfg.tiles_y(cam.height)
+    p = _project_any(g, cam, cfg)
+    # live PRIMARY count, pre-layout (same rule as build_home_layout's
+    # `on`): n_valid below counts live primaries + live copies, so the
+    # live-copy demand is n_valid - n_live_prim — NOT n_valid - n, which
+    # undercounts (even zeroes) it whenever a fraction of the scene is
+    # off-frustum (culled primaries are in n but not in n_valid)
+    x0, y0, x1, y1 = tile_rect(
+        p.mean2d, p.radius, tiles_x, tiles_y, cfg.tile_size
+    )
+    n_live_prim = jnp.sum(
+        (p.valid & (x1 > x0) & (y1 > y0)).astype(jnp.int32)
+    )
+    p, layout = build_home_layout(p, cam, cfg)
+    tile2d, _, _, nh_pad = expand_home_pairs(
+        p, layout, jnp.int32(0), tiles_y, tiles_x, cfg
+    )
+    n_pairs = jnp.sum((tile2d != INVALID_TILE).astype(jnp.int32))
+    return (
+        layout.seg_starts,
+        layout.n_valid,
+        layout.n_fat_overflow,
+        layout.n_copies,
+        n_pairs,
+        n_live_prim,
+    )
 
-    @jax.jit
-    def pass_(g):
-        p = _project_any(g, cam, cfg)
-        p, layout = build_home_layout(p, cam, cfg)
-        tile2d, _, _, nh_pad = expand_home_pairs(
-            p, layout, jnp.int32(0), tiles_y, tiles_x, cfg
-        )
-        n_pairs = jnp.sum((tile2d != INVALID_TILE).astype(jnp.int32))
-        return (
-            layout.seg_starts,
-            layout.n_valid,
-            layout.n_fat_overflow,
-            layout.n_copies,
-            n_pairs,
-        )
 
-    seg_d, n_valid, fat_ovf, n_copies, n_pairs = pass_(g)
+def measure_occupancy(g, cam, cfg: RenderConfig):
+    """One measuring pass. Returns a dict of host-side occupancy facts.
+
+    The pass is the expensive part (project → layout → expansion on
+    device); every derive_* below accepts the returned dict via `m=` so
+    callers measure once per (scene, camera, cfg) and share."""
+    tiles_x = cfg.tiles_x(cam.width)
+    tiles_y = cfg.tiles_y(cam.height)
+    seg_d, n_valid, fat_ovf, n_copies, n_pairs, n_live_prim = _measure_pass(
+        g, cam, cfg
+    )
     seg = np.asarray(jax.device_get(seg_d), np.int64)
     n = int(g.means.shape[0]) if hasattr(g, "means") else int(
         sum(gr.means.shape[0] for gr in g.groups)
@@ -103,6 +129,7 @@ def measure_occupancy(g, cam, cfg: RenderConfig):
         "n_fat_overflow": int(jax.device_get(fat_ovf)),
         "n_copies": int(jax.device_get(n_copies)),
         "n_pairs": int(jax.device_get(n_pairs)),
+        "n_live_prim": int(jax.device_get(n_live_prim)),
     }
 
 
@@ -147,45 +174,66 @@ def _band_worst_block(seg, tiles_x, tiles_y, blkw, dmach) -> int:
 
 
 def derive_caps(
-    g, cam, cfg: RenderConfig = RenderConfig(), slack: float = 1.2
+    g, cam, cfg: RenderConfig = RenderConfig(), slack: float = 1.2,
+    ms=None,
 ) -> RenderConfig:
     """Measure the scene's occupancy once and return `cfg` with every
     static budget sized at `slack` headroom. The measuring pass runs
     with cfg's own (generous default) fat caps; if those already
-    overflow, raise — the caller must start from a bigger base."""
-    m = measure_occupancy(g, cam, cfg)
-    if m["n_fat_overflow"] > 0:
-        raise ValueError(
-            f"measuring pass overflowed the base fat budgets "
-            f"(n_fat_overflow={m['n_fat_overflow']}); raise fat_cap / "
-            f"fat_max_blocks on the base config and re-derive"
-        )
-    n = m["n"]
-    cand = m["cand"]
-    seg = m["seg"]
+    overflow, raise — the caller must start from a bigger base.
+
+    `cam` may be a LIST of cameras (an orbit trajectory): every budget is
+    then sized for the worst view, so one static config covers the whole
+    trajectory (one compile — _measure_pass traces the camera). `ms`
+    (list of measure_occupancy dicts) skips re-measuring."""
+    if ms is None:
+        cams = cam if isinstance(cam, (list, tuple)) else [cam]
+        ms = [measure_occupancy(g, c, cfg) for c in cams]
+    for m in ms:
+        if m["n_fat_overflow"] > 0:
+            raise ValueError(
+                f"measuring pass overflowed the base fat budgets "
+                f"(n_fat_overflow={m['n_fat_overflow']}); raise fat_cap / "
+                f"fat_max_blocks on the base config and re-derive"
+            )
+    n = ms[0]["n"]
 
     # fat caps: live rows (primaries + copies) drive live_cap; the
-    # enumeration cap covers the measured pre-cull copy demand
-    live_copies = max(m["n_valid"] - n, 0)
+    # enumeration cap covers the measured pre-cull copy demand.
+    # live copies = n_valid - live PRIMARIES (not - n: culled primaries
+    # are in n but not n_valid, so "- n" collapses the cap to its floor
+    # on any scene with a significant off-frustum fraction)
+    live_copies = max(
+        max(m["n_valid"] - m["n_live_prim"], 0) for m in ms
+    )
     fat_live_cap = _round_up(max(int(live_copies * slack), 4096), 4096)
     # < 2^24: the merged parent gather's f32-exactness bound
     # (homesort.resolve_fat_caps); demand beyond it overflows, counted
     fat_cap = min(
-        _round_up(max(int(m["n_copies"] * slack), 8192), 8192),
+        _round_up(
+            max(int(max(m["n_copies"] for m in ms) * slack), 8192), 8192
+        ),
         (1 << 24) - 8192,
     )
 
     # repack grid: W must hold the densest tile + block slack; rows from
-    # exact greedy simulation
+    # exact greedy simulation (worst view)
     k_slots = cfg.tile_span * cfg.tile_span
     blk_slack = k_slots * 2 * 127 + 128
-    w = max(cfg.repack_w, _round_up(int(cand.max()) + blk_slack + 1024, 1024))
-    rows_true = _simulate_greedy_rows(cand, w - blk_slack)
+    w = max(
+        cfg.repack_w,
+        _round_up(
+            int(max(m["cand"].max() for m in ms)) + blk_slack + 1024, 1024
+        ),
+    )
+    rows_true = max(
+        _simulate_greedy_rows(m["cand"], w - blk_slack) for m in ms
+    )
     repack_rows = int(rows_true * slack) + 2
 
     # pair budget: live pairs + per-row 128-padding
     pair_cap = _round_up(
-        int(m["n_pairs"] * slack) + 128 * repack_rows, 128
+        int(max(m["n_pairs"] for m in ms) * slack) + 128 * repack_rows, 128
     )
 
     # band scratch: worst block at the configured (blkw, dmach), VMEM
@@ -201,7 +249,12 @@ def derive_caps(
     cap_budget = (25 * 2**19) // (vmem_rows * 2 + 2 * 16 * 4)
     cap_budget = (cap_budget // dmach) * dmach
     while True:
-        worst = _band_worst_block(seg, m["tiles_x"], m["tiles_y"], blkw, dmach)
+        worst = max(
+            _band_worst_block(
+                m["seg"], m["tiles_x"], m["tiles_y"], blkw, dmach
+            )
+            for m in ms
+        )
         need = _round_up(int(worst), dmach)
         if need <= cap_budget or blkw <= 2:
             break
@@ -253,12 +306,14 @@ def _rect_y_ranges(g, cam, cfg: RenderConfig):
     return np.asarray(jax.device_get(y0)), np.asarray(jax.device_get(y1))
 
 
-def derive_row_cuts(g, cam, cfg: RenderConfig, n_devices: int):
+def derive_row_cuts(g, cam, cfg: RenderConfig, n_devices: int, m=None):
     """Equal-CONTENT tile-row partition: cuts [D+1] so every band holds
     ≈ the same per-tile candidate mass (the quantity per-device cost
     actually follows under rows_live-bounded static shapes). Use with
-    make_train_step_equalized + derive_shard_caps(bands=...)."""
-    m = measure_occupancy(g, cam, cfg)
+    make_train_step_equalized + derive_shard_caps(bands=...). `m` (a
+    measure_occupancy dict) skips re-measuring."""
+    if m is None:
+        m = measure_occupancy(g, cam, cfg)
     row_cand = m["cand"].reshape(m["tiles_y"], m["tiles_x"]).sum(1)
     cum = np.concatenate([[0], np.cumsum(row_cand)])
     total = cum[-1]
@@ -279,6 +334,7 @@ def derive_shard_caps(
     origins=None,
     bands=None,
     slack: float = 1.25,
+    m=None,
 ) -> RenderConfig:
     """Measure the WORST band of size `band_rows` over the given origins
     (default: every ty0 a contiguous or balanced split can produce) and
@@ -295,11 +351,18 @@ def derive_shard_caps(
 
     Pass `bands` = [(ty0, rows), ...] for a non-uniform (equal-content)
     partition; otherwise a uniform `band_rows` grid (optionally with
-    explicit `origins`)."""
-    m = measure_occupancy(g, cam, cfg)
+    explicit `origins`). `m` (a measure_occupancy dict) skips
+    re-measuring."""
+    if m is None:
+        m = measure_occupancy(g, cam, cfg)
     tiles_y = m["tiles_y"]
     tiles_x = m["tiles_x"]
     if bands is None:
+        if band_rows is None:
+            raise ValueError(
+                "derive_shard_caps needs either band_rows (uniform grid) "
+                "or bands=[(ty0, rows), ...]"
+            )
         if origins is None:
             origins = sorted(
                 {min(i * band_rows, tiles_y - band_rows)
