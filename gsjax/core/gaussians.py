@@ -107,7 +107,12 @@ class Gaussians:
 
     def normalized_quats(self) -> jax.Array:
         q = self.quats
-        return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        # smoothed norm, NOT max(|q|, eps): the max-clamped norm's VJP at
+        # q = 0 is 0/0 = NaN, and an all-zero quat row exists by design
+        # in the lazy path's inert pad rows (render/lazy.py) — the NaN
+        # then rides a zero cotangent into Adam state and poisons the
+        # fold-back's block prefix sums
+        return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
 
     def rotation_matrices(self) -> jax.Array:
         """[N, 3, 3] rotation matrices from normalized (w,x,y,z) quats."""

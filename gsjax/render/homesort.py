@@ -348,42 +348,62 @@ def _home_gather_fwd(x, tail_x, perm, inv, inv_tail, seg_base):
     return out, (x.shape[0], tail_x.shape[0], inv, inv_tail, seg_base)
 
 
-def _home_gather_bwd(res, d):
-    n, f, inv, inv_tail, seg_base = res
+def reduce_copy_segments(d_tail, seg_base):
+    """[F, C] copy-row values → [N, C] per-parent segment sums (copies of
+    parent i occupy tail rows [seg_base[i], seg_base[i+1])).
+
+    Per-parent sums by BLOCK-BOUNDED prefix differencing: a global
+    f32 cumsum's running magnitude grows ~sqrt(F)·|g| and small
+    segments then difference two huge numbers (measured 240x
+    relative error at 1M copy rows, mixed magnitudes). Instead:
+    within-block (B rows) inclusive prefix p + block total T. A
+    segment [a, b) is at most fat_max_blocks < B rows, so it spans
+    <= 2 blocks and its sum is p[b-1] - p[a-1] (+ T[blk(a-1)] when
+    it crosses one block edge) — every difference is within-block
+    magnitude. T rides the SAME boundary gather as extra columns
+    (row gathers are priced per row, not width).
+
+    Shared by home_gather's VJP and the lazy fold-back
+    (render/lazy.py): the copy-delta reduction at resort cadence is the
+    same operation as the per-step copy-gradient reduction it replaces."""
+    f, c = d_tail.shape
+    B = 1024  # > fat_max_blocks (enforced in build_home_layout)
+    nb = -(-f // B)
+    dt = jnp.pad(d_tail.astype(jnp.float32), ((0, nb * B - f), (0, 0)))
+    p = jnp.cumsum(dt.reshape(nb, B, c), axis=1)  # [nb, B, C]
+    T = p[:, -1:, :]  # [nb, 1, C] block totals
+    paug = jnp.concatenate(
+        [p, jnp.broadcast_to(T, p.shape)], axis=-1
+    ).reshape(nb * B, 2 * c)
+    sb = jnp.minimum(seg_base, f)  # [N+1]
+    idx = sb - 1
+    pb = jnp.where(
+        (idx >= 0)[:, None], paug[jnp.maximum(idx, 0)], 0.0
+    )  # [N+1, 2C]: within-block prefix at the boundary + its block's T
+    blk = jnp.maximum(idx, 0) // B
+    cross = (blk[1:] > blk[:-1])[:, None]
+    return (pb[1:, :c] - pb[:-1, :c]) + jnp.where(cross, pb[:-1, c:], 0.0)
+
+
+def reduce_home_rows(d, n, f, inv, inv_tail, seg_base):
+    """[NH, C] home-row values → [N, C] splat-order values: primary rows
+    route through the inverse permutation (>= NH ⇒ truncated ⇒ zero),
+    copy rows segment-sum onto their parents. The transpose of
+    home_gather as a standalone op (the lazy fold-back applies it to
+    parameter/optimizer DELTAS at resort cadence)."""
     nh = d.shape[0]
     dpad = jnp.concatenate([d, jnp.zeros((1,) + d.shape[1:], d.dtype)])
     take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
     dx = take(inv)  # primary rows, bijective into the kept window
     if f:
-        d_tail = take(inv_tail)  # [F, C] copy-row grads, parent-contiguous
-        # Per-parent sums by BLOCK-BOUNDED prefix differencing: a global
-        # f32 cumsum's running magnitude grows ~sqrt(F)·|g| and small
-        # segments then difference two huge numbers (measured 240x
-        # relative error at 1M copy rows, mixed magnitudes). Instead:
-        # within-block (B rows) inclusive prefix p + block total T. A
-        # segment [a, b) is at most fat_max_blocks < B rows, so it spans
-        # <= 2 blocks and its sum is p[b-1] - p[a-1] (+ T[blk(a-1)] when
-        # it crosses one block edge) — every difference is within-block
-        # magnitude. T rides the SAME boundary gather as extra columns
-        # (row gathers are priced per row, not width).
-        c = d_tail.shape[1]
-        B = 1024  # > fat_max_blocks (enforced in build_home_layout)
-        nb = -(-f // B)
-        dt = jnp.pad(d_tail.astype(jnp.float32), ((0, nb * B - f), (0, 0)))
-        p = jnp.cumsum(dt.reshape(nb, B, c), axis=1)  # [nb, B, C]
-        T = p[:, -1:, :]  # [nb, 1, C] block totals
-        paug = jnp.concatenate(
-            [p, jnp.broadcast_to(T, p.shape)], axis=-1
-        ).reshape(nb * B, 2 * c)
-        sb = jnp.minimum(seg_base, f)  # [N+1]
-        idx = sb - 1
-        pb = jnp.where(
-            (idx >= 0)[:, None], paug[jnp.maximum(idx, 0)], 0.0
-        )  # [N+1, 2C]: within-block prefix at the boundary + its block's T
-        blk = jnp.maximum(idx, 0) // B
-        cross = (blk[1:] > blk[:-1])[:, None]
-        seg = (pb[1:, :c] - pb[:-1, :c]) + jnp.where(cross, pb[:-1, c:], 0.0)
-        dx = dx + seg.astype(d.dtype)
+        d_tail = take(inv_tail)  # [F, C] copy-row values, parent-contiguous
+        dx = dx + reduce_copy_segments(d_tail, seg_base).astype(d.dtype)
+    return dx
+
+
+def _home_gather_bwd(res, d):
+    n, f, inv, inv_tail, seg_base = res
+    dx = reduce_home_rows(d, n, f, inv, inv_tail, seg_base)
     return (dx, None, None, None, None, None)
 
 
@@ -519,12 +539,20 @@ def _block_qmin(mx, my, ca, cb, cc, wx0, wx1, wy0, wy1, ts: float):
     return jnp.where(inside, 0.0, qmin)
 
 
-def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
+def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig,
+                      return_extras: bool = False):
     """Sort the PROJECTED scene by (home tile, depth), splitting fat
     splats into per-block copies in exact mode. Returns
     (p_home: ProjectedSplats [NH], HomeLayout); NH = N + live_cap
     (exact mode) or N (legacy). All key/geometry math runs under
-    stop_gradient — the permutation is order information."""
+    stop_gradient — the permutation is order information.
+
+    With return_extras, additionally returns a dict with the inverse
+    structure the lazy fold-back needs (render/lazy.py): `inv` [N] /
+    `inv_tail` [F] (each pre-sort row's home position, >= NH ⇒
+    truncated), `seg_base` [N+1] (copy-slot segments per parent), and
+    `parent_of_slot` [F] (the parent splat of each copy slot — a
+    scatter + cummax over the non-decreasing slot bases)."""
     n = p.depth.shape[0]
     tiles_x = cfg.tiles_x(cam.width)
     tiles_y = cfg.tiles_y(cam.height)
@@ -551,6 +579,8 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         nt = n
         nh = n
         fat_cap = 0
+        base = None
+        is_fat = None
         seg_base = jnp.zeros((n + 1,), jnp.int32)
         # zero packed windows = the all-zero win sentinel: binning reclamps
         wpa = jnp.zeros((n,), jnp.int32)
@@ -747,7 +777,30 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig):
         tiles_y=tiles_y,
         rows_present=tiles_y,
     )
-    return p_home, layout
+    if not return_extras:
+        return p_home, layout
+    if fat_cap:
+        # parent splat of each copy slot: scatter each fat splat's index
+        # at its base slot (slot segments are consecutive and
+        # non-decreasing in parent index), then a cummax fills the
+        # segment. Dead/overflowed slots inherit the last parent —
+        # harmless (their home rows are sentinel rows with no pairs).
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        marks = (
+            jnp.zeros((fat_cap,), jnp.int32)
+            .at[jnp.where(is_fat, jnp.minimum(base, fat_cap - 1), fat_cap)]
+            .max(jnp.where(is_fat, iota_n, 0), mode="drop")
+        )
+        parent = jax.lax.cummax(marks)
+    else:
+        parent = jnp.zeros((0,), jnp.int32)
+    extras = {
+        "inv": inv_ext[:n],
+        "inv_tail": inv_ext[n:],
+        "seg_base": seg_base,
+        "parent_of_slot": parent,
+    }
+    return p_home, layout, extras
 
 
 # --------------------------------------------------------------------------

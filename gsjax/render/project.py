@@ -131,7 +131,11 @@ def project(
 
     opacity = g.opacities
     dirs = g.means - cam.position
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    # smoothed norm (see gaussians.normalized_quats): a splat exactly at
+    # the camera position must not NaN the backward through 0/0
+    dirs = dirs / jnp.sqrt(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-24
+    )
     rgb = eval_sh(g.sh, dirs)
 
     valid = in_front & det_ok & on_screen & (opacity >= cfg.alpha_min)
