@@ -1,9 +1,20 @@
-"""Headline benchmark (BASELINE config 3): 1080p forward+backward
-training step on a Bonsai-scale scene (1.2M splats), single chip.
+"""Headline benchmark (BASELINE config 3): 1080p ORBIT trajectory,
+forward+backward training steps on a Bonsai-scale scene (1.2M splats),
+single chip.
+
+The headline mode drives a real 30-view orbit (camera sweeping ~1°/view
+— interactive-rate motion, ≙ the reference's rAF orbit loop,
+/root/reference/examples/simple-server/src/main.ts:21-26) through the
+LAZY path (render/lazy.py): at each view the layout is rebuilt (a
+"resort": the fold-back + full prologue + re-extract), then
+`--steps-per-view` training steps reuse it with fresh attributes — the
+reference's own stale-permutation amortization (Worker.ts:45-57) made
+explicit. Every static budget is autotuned for the TRAJECTORY's worst
+view and every resort's overflow counters are gated.
 
 Prints ONE JSON line:
   {"metric": "1080p_fwd_bwd_ms_per_frame", "value": <ms>, "unit": "ms",
-   "vs_baseline": <8.0 / ms>}
+   "vs_baseline": <8.0 / ms>, "mode": ..., ...}
 
 vs_baseline is relative to the BASELINE.json north star (<8 ms/frame on
 one v5p chip): >1.0 means the target is beaten. The Bonsai scene itself
@@ -11,7 +22,15 @@ is not downloadable in this environment (zero egress); the synthetic
 scene matches its splat count and footprint statistics
 (gsjax/bench/synth.py).
 
-Usage: python bench.py [--quick] [--n N] [--frames K] [--backend xla|pallas]
+Modes (--mode):
+  orbit        (default) lazy steps along the orbit, resort per view
+  orbit-exact  the per-frame-exact pipeline at every orbit view
+               (config 3 at its strictest: full sort+bin+blend per frame)
+  fixed        r4-compatible fixed-camera exact bench (--frames steps)
+  fixed-lazy   fixed camera, lazy with resort every --resort-every steps
+
+Usage: python bench.py [--quick] [--mode M] [--views 30]
+                       [--steps-per-view 16] [--scene bonsai|garden]
 """
 
 import argparse
@@ -27,15 +46,72 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS = 8.0
 
 
+def perturb(g, seed: int = 7):
+    """Small parameter noise for the training benches: the trained
+    params start displaced from the scene that rendered the targets, so
+    every step carries real gradient signal while the workload stays
+    statistically the scene itself. (A black target is NOT usable for a
+    long bench: hundreds of steps legitimately fade the scene to black
+    and the kernels' early-termination makes the tail of the run
+    fake-fast — measured: the 480-step orbit run's final loss hit 0.)"""
+    import dataclasses as dc
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return dc.replace(
+        g,
+        means=g.means + rng.normal(0, 2e-3, g.means.shape).astype("float32"),
+        sh=g.sh + rng.normal(0, 2e-2, g.sh.shape).astype("float32"),
+        opacity_logits=g.opacity_logits
+        + rng.normal(0, 5e-2, g.opacity_logits.shape).astype("float32"),
+    )
+
+
+def orbit_cameras(views: int, width: int, height: int,
+                  sweep_deg: float = 30.0):
+    """`views` cameras sweeping `sweep_deg` of azimuth around the scene,
+    starting at the fixed bench pose (so view 0's loss matches the fixed
+    bench bit-for-bit). ~1°/view is display-rate orbit motion."""
+    import numpy as np
+
+    from gsjax.camera.orbit import OrbitCamera
+
+    r = float(np.hypot(4.0, 0.6))
+    beta = float(np.arcsin(-0.6 / r))
+    oc = OrbitCamera(alpha=float(np.pi), beta=beta, radius=r,
+                     target=(0.0, 0.0, 0.0))
+    return oc.trajectory(
+        views, alpha_end=float(np.deg2rad(sweep_deg)),
+        fx=1600.0, fy=1600.0, width=width, height=height,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small scene smoke run")
     ap.add_argument("--n", type=int, default=None)
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument(
+        "--mode",
+        default="orbit",
+        choices=["orbit", "orbit-exact", "fixed", "fixed-lazy"],
+    )
+    ap.add_argument("--views", type=int, default=30,
+                    help="orbit views (BASELINE config 3: 30)")
+    ap.add_argument("--steps-per-view", type=int, default=16,
+                    help="lazy training steps per orbit view (layout "
+                    "resorted at each view change)")
+    ap.add_argument("--sweep-deg", type=float, default=30.0,
+                    help="total orbit sweep; default ~1°/view")
+    ap.add_argument("--frames", type=int, default=10,
+                    help="steps for the fixed/fixed-lazy modes")
+    ap.add_argument("--resort-every", type=int, default=16,
+                    help="fixed-lazy: resort cadence K")
     ap.add_argument("--backend", default=None)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="fixed mode: time forward only")
     ap.add_argument(
         "--scene",
         default="bonsai",
@@ -85,7 +161,10 @@ def main():
     if args.quick:
         n = args.n or 50_000
         width, height = 640, 480
-        cfg = RenderConfig(backend=backend, tile_list_cap=512, chunk=128)
+        cfg = RenderConfig(
+            backend=backend, tile_list_cap=512, chunk=128,
+            stream_exact_table=args.exact,
+        )
     else:
         n = args.n or 1_200_000
         width, height = args.width, args.height
@@ -102,22 +181,26 @@ def main():
         g = garden_like(n=n)
     else:
         g = bonsai_like(n=n, sh_degree=0)
-    cam = bench_camera(width=width, height=height)
+
+    orbit = args.mode in ("orbit", "orbit-exact") and not args.quick
+    if orbit:
+        cams = orbit_cameras(args.views, width, height, args.sweep_deg)
+    else:
+        cams = [bench_camera(width=width, height=height)]
 
     # occupancy pre-pass: size every static budget (band scratch, fat
-    # caps, pair budget, repack grid) from one measured pass — the same
-    # default config path works for any scene/resolution (VERDICT r3
-    # weak #6)
+    # caps, pair budget, repack grid) for the WORST view of the
+    # trajectory — one measured pass per view through one compiled
+    # program (core/autotune.py)
     if backend == "stream" and not args.quick and not args.no_autotune:
-        import time as _time
-
         from gsjax.core.autotune import derive_caps
 
-        t0 = _time.perf_counter()
-        cfg = derive_caps(g, cam, cfg)
+        t0 = time.perf_counter()
+        cfg = derive_caps(g, cams, cfg)
         print(
-            f"# autotune {(_time.perf_counter() - t0):.1f}s: "
-            f"pair_cap={cfg.pair_cap} repack_w={cfg.repack_w} "
+            f"# autotune {(time.perf_counter() - t0):.1f}s over "
+            f"{len(cams)} view(s): pair_cap={cfg.pair_cap} "
+            f"repack_w={cfg.repack_w} "
             f"repack_rows={cfg.repack_rows} band_cap={cfg.stream_band_cap} "
             f"blkw={cfg.stream_block_tiles} fat_cap={cfg.fat_cap} "
             f"live_cap={cfg.fat_live_cap}",
@@ -127,20 +210,71 @@ def main():
         cfg = dataclasses.replace(cfg, pair_cap=args.pair_cap)
 
     opt = optax.adam(1e-3)
-    opt_state = opt.init(g)
-    target = jnp.zeros((height, width, 3), jnp.float32)
+    extra = {"mode": args.mode, "scene": args.scene}
+
+    lazy_mode = args.mode in ("orbit", "fixed-lazy") and not args.quick
+    if args.mode == "fixed" or args.quick:
+        # r4-comparable: fixed camera, black target, few frames (the
+        # scene cannot decay meaningfully in 10 steps)
+        targets = [jnp.zeros((height, width, 3), jnp.float32)]
+        g_train = g
+    else:
+        # long training runs: render each view's target from the clean
+        # scene and train a perturbed copy toward it — real gradients,
+        # stationary workload (see perturb())
+        render_t = jax.jit(lambda g, cam: render(g, cam, cfg))
+        t0 = time.perf_counter()
+        targets = [render_t(g, cam) for cam in cams]
+        jax.device_get(targets[-1].ravel()[0])
+        black = float(jnp.mean(targets[0] ** 2))
+        print(
+            f"# targets: {len(targets)} view renders in "
+            f"{time.perf_counter() - t0:.1f}s; black-target loss of view 0 "
+            f"= {black:.5f} (r4 fixed-bench continuity)",
+            file=sys.stderr,
+        )
+        extra["black_loss0"] = round(black, 5)
+        g_train = perturb(g)
+
+    if lazy_mode:
+        ms, extra2 = run_lazy(args, g_train, cams, cfg, opt, targets, jax,
+                              jnp)
+    else:
+        ms, extra2 = run_exact(args, g_train, cams, cfg, opt, targets,
+                               backend, jax, jnp, render)
+    extra.update(extra2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_fwd_bwd_ms_per_frame",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+                **extra,
+            }
+        )
+    )
+
+
+def run_exact(args, g, cams, cfg, opt, targets, backend, jax, jnp, render):
+    """Per-frame-exact step (full sort+bin+blend each frame). Camera is a
+    TRACED argument: one compile covers every orbit view."""
+    import optax
+
+    target = targets[0]
 
     if args.forward_only:
 
         @jax.jit
-        def step(g, opt_state, target):
+        def step(g, opt_state, target, cam):
             return g, opt_state, jnp.mean(render(g, cam, cfg))
 
     else:
         # donate params + opt state: the step consumes and replaces them,
         # and the dead copies are ~2.4 GB at garden scale (5M splats)
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(g, opt_state, target):
+        def step(g, opt_state, target, cam):
             def loss_fn(g):
                 img = render(g, cam, cfg)
                 return jnp.mean((img - target) ** 2)
@@ -150,64 +284,137 @@ def main():
             g2 = optax.apply_updates(g, updates)
             return g2, opt_state2, loss
 
-    # honesty check: the static budgets must not truncate this scene.
-    # GATED: a nonzero overflow means the rendered image/loss silently
-    # dropped work, so the timing would not measure the exact semantics
-    # the bench claims — fail the run rather than report it.
-    _, aux = jax.jit(
-        lambda g: render(g, cam, cfg, return_aux=True)
-    )(g)
-    aux = jax.device_get(aux)
-    ovf = {
-        k: int(aux[k])
-        for k in (
-            "n_pair_overflow",
-            "n_band_overflow",
-            "n_tile_overflow",
-            "n_fat_overflow",  # exact-footprint budget (fat-splat split)
-            "n_clamped",  # rect-budget clamp (xla/pallas backends)
-        )
-        if k in aux
-    }
-    novf = sum(ovf.values())
-    print(f"# overflow: {novf} (must be 0) {ovf}", file=sys.stderr)
-    if novf != 0:
+    # honesty gate on EVERY view: the static budgets must not truncate
+    # any frame of the trajectory — a nonzero overflow means silently
+    # dropped work, so fail rather than report
+    aux_fn = jax.jit(lambda g, cam: render(g, cam, cfg, return_aux=True)[1])
+    ovf_keys = ("n_pair_overflow", "n_band_overflow", "n_tile_overflow",
+                "n_fat_overflow", "n_clamped")
+    auxes = [aux_fn(g, cam) for cam in cams]
+    _gate_overflow(
+        [{k: a[k] for k in ovf_keys if k in a} for a in auxes], jax
+    )
+
+    opt_state = opt.init(g)
+    # compile + warmup
+    t0 = time.perf_counter()
+    g1, opt_state1, loss = step(g, opt_state, target, cams[0])
+    jax.device_get(loss)  # block_until_ready does not block through axon
+    compile_s = time.perf_counter() - t0
+    loss0 = float(loss)
+    print(
+        f"# mode={args.mode} backend={backend} n={g.means.shape[0]} "
+        f"{cams[0].width}x{cams[0].height} compile={compile_s:.1f}s "
+        f"loss0={loss0:.5f}",
+        file=sys.stderr,
+    )
+
+    if args.mode == "orbit-exact":
+        # one fwd+bwd step at every orbit view
+        t0 = time.perf_counter()
+        for i, cam in enumerate(cams):
+            g1, opt_state1, loss = step(g1, opt_state1, targets[i], cam)
+        jax.device_get(loss)
+        ms = (time.perf_counter() - t0) / len(cams) * 1e3
+        return ms, {"views": len(cams), "loss0": round(loss0, 5),
+                    "sweep_deg": args.sweep_deg,
+                    "final_loss": round(float(loss), 5)}
+
+    # fixed camera: K frames, re-feeding the updated params
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        g1, opt_state1, loss = step(g1, opt_state1, target, cams[0])
+    jax.device_get(loss)
+    ms = (time.perf_counter() - t0) / args.frames * 1e3
+    return ms, {"frames": args.frames, "loss0": round(loss0, 5)}
+
+
+def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
+    """Lazy modes: resort (fold + full prologue + extract) at each view
+    change (orbit) or every K steps (fixed-lazy); steps in between reuse
+    the layout with fresh attributes (render/lazy.py)."""
+    from gsjax.render.lazy import LazyTrainer
+
+    if cfg.backend != "stream":
+        raise SystemExit("# lazy modes need the stream backend (TPU)")
+
+    tr = LazyTrainer(g, cfg, opt)
+    # warm every compile path (plan, extract, step, fold) without
+    # counting it; loss0 of the very first step is the exact-path loss
+    # (the post-resort step IS exact)
+    t0 = time.perf_counter()
+    tr.resort(cams[0])
+    loss0 = float(jax.device_get(tr.step(targets[0], cams[0])))
+    tr.resort(cams[0])  # compiles the fold
+    tr.step(targets[0], cams[0])
+    jax.device_get(jax.tree.leaves(tr.hp)[0].ravel()[0])
+    compile_s = time.perf_counter() - t0
+    print(
+        f"# mode={args.mode} backend=stream n={g.means.shape[0]} "
+        f"{cams[0].width}x{cams[0].height} compile={compile_s:.1f}s "
+        f"loss0={loss0:.5f}",
+        file=sys.stderr,
+    )
+
+    # fresh trainer for the timed run (jits are module-level: warm)
+    tr = LazyTrainer(g, cfg, opt)
+    ovfs = []
+    if args.mode == "orbit":
+        spv = args.steps_per_view
+        t0 = time.perf_counter()
+        for i, cam in enumerate(cams):
+            tr.resort(cam)
+            ovfs.append(tr.plan.ovf)
+            for _ in range(spv):
+                loss = tr.step(targets[i], cam)
+        tr.sync()
+        jax.device_get(jax.tree.leaves(tr.g)[0].ravel()[0])
+        n_steps = len(cams) * spv
+        ms = (time.perf_counter() - t0) / n_steps * 1e3
+        extra = {"views": len(cams), "steps_per_view": spv,
+                 "sweep_deg": args.sweep_deg, "loss0": round(loss0, 5),
+                 "resorts": len(cams)}
+    else:  # fixed-lazy
+        K = args.resort_every
+        n_steps = args.frames
+        cam = cams[0]
+        t0 = time.perf_counter()
+        for s in range(n_steps):
+            if s % K == 0:
+                tr.resort(cam)
+                ovfs.append(tr.plan.ovf)
+            loss = tr.step(targets[0], cam)
+        tr.sync()
+        jax.device_get(jax.tree.leaves(tr.g)[0].ravel()[0])
+        ms = (time.perf_counter() - t0) / n_steps * 1e3
+        extra = {"frames": n_steps, "resort_every": K,
+                 "loss0": round(loss0, 5)}
+
+    _gate_overflow(ovfs, jax)
+    extra["final_loss"] = round(float(jax.device_get(loss)), 5)
+    return ms, extra
+
+
+def _gate_overflow(ovfs, jax):
+    """All resorts/views must be overflow-free or the run FAILS (the
+    timing would not measure the claimed semantics)."""
+    bad = 0
+    tot = {}
+    for o in ovfs:
+        o = {k: int(v) for k, v in jax.device_get(o).items()}
+        for k, v in o.items():
+            if k.startswith("n_") and k != "n_pairs":
+                tot[k] = tot.get(k, 0) + v
+                bad += v
+    print(f"# overflow over {len(ovfs)} view(s): {bad} (must be 0) {tot}",
+          file=sys.stderr)
+    if bad:
         print(
-            "# FAIL: overflow counters nonzero — the frame truncated work; "
+            "# FAIL: overflow counters nonzero — a frame truncated work; "
             "raise the corresponding budget (see core/config.py) and re-run",
             file=sys.stderr,
         )
         sys.exit(1)
-
-    # compile + warmup
-    t0 = time.perf_counter()
-    g1, opt_state1, loss = step(g, opt_state, target)
-    jax.device_get(loss)  # block_until_ready does not block through axon
-    compile_s = time.perf_counter() - t0
-    print(
-        f"# backend={backend} n={n} {width}x{height} "
-        f"fwd{'':s}{'+bwd' if not args.forward_only else ''} "
-        f"compile={compile_s:.1f}s loss={float(loss):.5f}",
-        file=sys.stderr,
-    )
-
-    # steady state: K frames, re-feeding the updated params
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
-        g1, opt_state1, loss = step(g1, opt_state1, target)
-    jax.device_get(loss)  # block_until_ready does not block through axon
-    ms = (time.perf_counter() - t0) / args.frames * 1e3
-
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_fwd_bwd_ms_per_frame",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 4),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -695,12 +695,39 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig,
 
     # full f32 depth resolution (graphdeco semantics): 3 KEYS
     # (home, depth_bits, idx — idx makes tie order ascending-index
-    # deterministically) + the packed per-row windows as payloads
-    home_sorted, _, perm_full, wpa_s, wpb_s = jax.lax.sort(
-        (home_key, dkey, jnp.arange(nt, dtype=jnp.int32), wpa, wpb),
-        num_keys=3,
-        is_stable=False,
-    )
+    # deterministically) + the packed per-row windows as payloads.
+    # With return_extras the SOURCE SPLAT index (self for primaries,
+    # fat parent for copy slots) rides as one more payload: the lazy
+    # plan's pidx then needs no separate NH-row gather (~35 ms at bench
+    # scale vs ~4 ms of extra sort operand).
+    if return_extras and not cfg.footprint_clamp:
+        # parent splat of each copy slot: scatter each fat splat's index
+        # at its base slot (slot segments are consecutive and
+        # non-decreasing in parent index), then a cummax fills the
+        # segment. Dead/overflowed slots inherit the last parent —
+        # harmless (their home rows are sentinel rows with no pairs).
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        marks = (
+            jnp.zeros((fat_cap,), jnp.int32)
+            .at[jnp.where(is_fat, jnp.minimum(base, fat_cap - 1), fat_cap)]
+            .max(jnp.where(is_fat, iota_n, 0), mode="drop")
+        )
+        parent = jax.lax.cummax(marks)
+        src_pre = jnp.concatenate([iota_n, parent])
+        home_sorted, _, perm_full, wpa_s, wpb_s, src_s = jax.lax.sort(
+            (home_key, dkey, jnp.arange(nt, dtype=jnp.int32), wpa, wpb,
+             src_pre),
+            num_keys=3,
+            is_stable=False,
+        )
+    else:
+        parent = jnp.zeros((0,), jnp.int32)
+        home_sorted, _, perm_full, wpa_s, wpb_s = jax.lax.sort(
+            (home_key, dkey, jnp.arange(nt, dtype=jnp.int32), wpa, wpb),
+            num_keys=3,
+            is_stable=False,
+        )
+        src_s = perm_full
     # perm_full is a permutation (unique keys), so the inverse needs only
     # a 1-KEY sort with the iota as payload — measured 10 ms vs 30 ms for
     # the r2 num_keys=2 variant and 26 ms for a scatter-set at nt=3.6M
@@ -779,26 +806,12 @@ def build_home_layout(p: ProjectedSplats, cam: Camera, cfg: RenderConfig,
     )
     if not return_extras:
         return p_home, layout
-    if fat_cap:
-        # parent splat of each copy slot: scatter each fat splat's index
-        # at its base slot (slot segments are consecutive and
-        # non-decreasing in parent index), then a cummax fills the
-        # segment. Dead/overflowed slots inherit the last parent —
-        # harmless (their home rows are sentinel rows with no pairs).
-        iota_n = jnp.arange(n, dtype=jnp.int32)
-        marks = (
-            jnp.zeros((fat_cap,), jnp.int32)
-            .at[jnp.where(is_fat, jnp.minimum(base, fat_cap - 1), fat_cap)]
-            .max(jnp.where(is_fat, iota_n, 0), mode="drop")
-        )
-        parent = jax.lax.cummax(marks)
-    else:
-        parent = jnp.zeros((0,), jnp.int32)
     extras = {
         "inv": inv_ext[:n],
         "inv_tail": inv_ext[n:],
         "seg_base": seg_base,
         "parent_of_slot": parent,
+        "src_sorted": src_s[:nh],  # source splat per home row
     }
     return p_home, layout, extras
 
@@ -847,7 +860,8 @@ def band_prefilter_cap(n: int, tiles_y: int, band_rows: int,
 
 
 def band_prefilter(p: ProjectedSplats, ty0, band_rows, tiles_y: int,
-                   tiles_x: int, cap_n: int, cfg: RenderConfig):
+                   tiles_x: int, cap_n: int, cfg: RenderConfig,
+                   return_idx: bool = False):
     """Select the splats whose footprint rect can reach the tile-row band
     [ty0 − 1, ty0 + band_rows + 1) and compact them to a static [cap_n]
     prefix — BEFORE build_home_layout, so the whole prologue (fat-splat
@@ -914,6 +928,11 @@ def band_prefilter(p: ProjectedSplats, ty0, band_rows, tiles_y: int,
         opacity=pb[:, 10],
         valid=live,
     )
+    if return_idx:
+        # idx [cap_n]: each compacted row's GLOBAL splat row (n = the
+        # zero pad) — the lazy band plan maps home rows to global
+        # parameter rows through it (render/lazy.py)
+        return p_band, n_dropped, idx
     return p_band, n_dropped
 
 
@@ -928,7 +947,8 @@ def band_slice_cap(nh: int, tiles_y: int, band_rows: int,
 
 
 def slice_band_rows(p: ProjectedSplats, layout: HomeLayout, ty0,
-                    band_rows: int, cap: int, rows_live=None):
+                    band_rows: int, cap: int, rows_live=None,
+                    extra_rows=()):
     """Restrict the home layout to the tile-row band [ty0, ty0+band_rows)
     plus its one-row halo — the rows that can emit pairs into the band.
     They are CONTIGUOUS in the (home, depth) order, so this is one
@@ -1007,4 +1027,9 @@ def slice_band_rows(p: ProjectedSplats, layout: HomeLayout, ty0,
         tiles_y=tiles_y,
         rows_present=rows_present,
     )
+    if extra_rows:
+        # per-home-row side arrays (e.g. the lazy plan's source index)
+        # sliced by the SAME window, plus start_c so callers can rebase
+        # inverse positions
+        return p2, layout2, n_dropped, [sl(a) for a in extra_rows], start_c
     return p2, layout2, n_dropped

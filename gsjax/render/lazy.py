@@ -60,6 +60,7 @@ from gsjax.render.binning import build_tile_bins
 from gsjax.render.composite import assemble_band, clipped_pair_stream
 from gsjax.render.homesort import (
     build_home_layout,
+    reduce_copy_segments,
     reduce_home_rows,
 )
 from gsjax.render.pallas_stream import (
@@ -145,23 +146,11 @@ def _build_plan_jit(g, cam: Camera, cfg: RenderConfig):
         rows_present=layout.rows_present,
     )
     n = extras["inv"].shape[0]
-    perm = layout.perm
-    fat_cap = extras["parent_of_slot"].shape[0]
-    if fat_cap:
-        src = jnp.where(
-            perm < n,
-            jnp.minimum(perm, n - 1),
-            extras["parent_of_slot"][
-                jnp.clip(perm - n, 0, fat_cap - 1)
-            ],
-        )
-    else:
-        src = jnp.minimum(perm, n - 1)
     # dead rows (sentinel segment / culled copies) point at the inert pad
     # row N: their extracted params render nothing and receive no grads,
-    # so their fold-back delta is exactly zero
-    live_row = p.valid
-    pidx = jnp.where(live_row, src, n)
+    # so their fold-back delta is exactly zero. The source index rode
+    # the (home, depth) sort as a payload — no NH-row gather here.
+    pidx = jnp.where(p.valid, extras["src_sorted"], n)
     ovf = {
         "n_pair_overflow": jnp.asarray(
             n_dropped + bins.n_repack_overflow, jnp.int32
@@ -191,6 +180,120 @@ def _build_plan_jit(g, cam: Camera, cfg: RenderConfig):
     )
 
 
+@partial(jax.jit, static_argnums=(2, 4))
+def _build_band_plan_jit(g, cam: Camera, cfg: RenderConfig, ty0,
+                         band_rows: int, rows_live):
+    """Band-restricted frame plan: the tile-sharded prologue
+    (band_prefilter → home layout → slice_band_rows → band bins/streams,
+    the same chain as parallel.render_sharded._render_band) captured as
+    a static plan. pidx maps the band's home rows to GLOBAL splat rows
+    (prefilter idx ∘ source index), so extract_home/lazy_render/
+    make_lazy_step work unchanged; inv/inv_tail are PREFILTER-space and
+    band-rebased — fold_back across bands is future work (a use would
+    fail loudly on the shape mismatch)."""
+    from gsjax.render.homesort import (
+        band_prefilter,
+        band_prefilter_cap,
+        band_slice_cap,
+        slice_band_rows,
+    )
+
+    tiles_y = cfg.tiles_y(cam.height)
+    tiles_x = cfg.tiles_x(cam.width)
+    p = _project_any(g, cam, cfg)
+    n = p.depth.shape[0]
+    cap_n = cfg.shard_prefilter_cap or band_prefilter_cap(
+        n, tiles_y, band_rows, cfg.band_prefilter_slack
+    )
+    cap_n = min(cap_n, -(-n // 4096) * 4096)
+    p, n_pref, gidx = band_prefilter(
+        p, ty0, rows_live, tiles_y, tiles_x, cap_n, cfg, return_idx=True
+    )
+    p, layout, extras = build_home_layout(p, cam, cfg, return_extras=True)
+    cap = cfg.shard_slice_cap or band_slice_cap(
+        layout.perm.shape[0], tiles_y, band_rows, cfg.band_slice_slack
+    )
+    p, layout, n_sliced, (src_b,), start_c = slice_band_rows(
+        p, layout, ty0, band_rows, cap, rows_live,
+        extra_rows=(extras["src_sorted"],),
+    )
+    bins = build_tile_bins(
+        p, cam, cfg, ty0=ty0, band_rows=band_rows, anchor="home",
+        layout=layout, rows_live=rows_live,
+    )
+    pid, starts, n_dropped = clipped_pair_stream(bins, cfg)
+    from gsjax.render.binning import _EXPAND_R
+
+    sid_dead = -(-p.depth.shape[0] // _EXPAND_R) * _EXPAND_R
+    pidwin, tile_of, cbase = packed_pid_windows(pid, starts, cfg, sid_dead)
+    blktab, n_bovf = band_blocks(
+        layout.seg_starts, bins.ty0, tiles_x, layout.tiles_y, band_rows,
+        cfg, seg_row0=layout.seg_row0, rows_present=layout.rows_present,
+    )
+    # home row → global splat row: prefilter idx (cap_n → global, pad n)
+    # composed with the band source index (home → prefiltered row)
+    gpad = jnp.concatenate([gidx, jnp.full((1,), n, jnp.int32)])
+    gsrc = gpad[jnp.clip(src_b, 0, cap_n)]
+    pidx = jnp.where(p.valid, gsrc, n)
+    cap_h = p.depth.shape[0]
+    inv_b = jnp.where(
+        (extras["inv"] >= start_c) & (extras["inv"] < start_c + cap_h),
+        extras["inv"] - start_c, cap_h,
+    )
+    invt_b = jnp.where(
+        (extras["inv_tail"] >= start_c)
+        & (extras["inv_tail"] < start_c + cap_h),
+        extras["inv_tail"] - start_c, cap_h,
+    )
+    ovf = {
+        "n_pair_overflow": jnp.asarray(
+            n_dropped + bins.n_repack_overflow, jnp.int32
+        ),
+        "n_band_overflow": jnp.asarray(
+            n_bovf + n_pref + n_sliced, jnp.int32
+        ),
+        "n_fat_overflow": jnp.asarray(layout.n_fat_overflow, jnp.int32),
+        "n_tile_overflow": jnp.zeros((), jnp.int32),
+        "n_pairs": jnp.asarray(bins.n_pairs, jnp.int32),
+    }
+    return FramePlan(
+        pidx=pidx,
+        inv=inv_b,
+        inv_tail=invt_b,
+        seg_base=extras["seg_base"],
+        home_x=layout.home_x,
+        home_y=layout.home_y,
+        pidwin=pidwin,
+        tile_of=tile_of,
+        cbase=cbase,
+        starts=starts,
+        blktab=blktab,
+        ty0=bins.ty0,
+        ovf=ovf,
+        tiles_x=tiles_x,
+        band_rows=band_rows,
+        n=n,
+    )
+
+
+def build_band_plan(g, cam: Camera, cfg: RenderConfig, ty0,
+                    band_rows: int, rows_live=None) -> FramePlan:
+    """One band resort for the tile-sharded lazy path: each device of a
+    mesh rebuilds its own band plan at resort cadence and runs lazy
+    steps on its band's home rows only — the per-device step is then
+    project(band share) + band kernels, which is exactly the fixed
+    prologue the equal-content scaling analysis blamed for the 48%
+    efficiency ceiling (DESIGN.md r4)."""
+    if cfg.tile_span != 3 or cfg.footprint_clamp:
+        raise ValueError("band plans require the exact stream path")
+    if rows_live is None:
+        rows_live = band_rows
+    return _build_band_plan_jit(
+        g, cam, cfg, jnp.asarray(ty0, jnp.int32), band_rows,
+        jnp.asarray(rows_live, jnp.int32),
+    )
+
+
 def build_frame_plan(g, cam: Camera, cfg: RenderConfig) -> FramePlan:
     """One resort: run the full prologue (project → home layout → pair
     expansion → repack sort → pid windows → DMA block table) at the
@@ -215,28 +318,64 @@ def _is_per_splat(x, n: int):
     return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n
 
 
-def extract_home(tree, plan: FramePlan):
+def _packable(x, n: int):
+    return _is_per_splat(x, n) and x.dtype == jnp.float32
+
+
+def _pack(tree, n):
+    """Flatten `tree` and concatenate every per-splat f32 leaf into ONE
+    [n, C] matrix (row gathers and the fold reduction are priced per
+    ROW, not width — 15 separate 2.6M-row gathers for params + two Adam
+    moments measured ~35 ms EACH; packed they are one). Returns
+    (leaves, treedef, idx, shapes, packed)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    idx = [i for i, l in enumerate(leaves) if _packable(l, n)]
+    mats = [leaves[i].reshape(n, -1) for i in idx]
+    packed = jnp.concatenate(mats, axis=1) if mats else None
+    shapes = [leaves[i].shape[1:] for i in idx]
+    return leaves, treedef, idx, shapes, packed
+
+
+def _unpack(leaves, treedef, idx, shapes, packed, rows):
+    out = list(leaves)
+    o = 0
+    for i, shp in zip(idx, shapes):
+        w = 1
+        for s in shp:
+            w *= s
+        out[i] = packed[:, o : o + w].reshape((rows,) + tuple(shp))
+        o += w
+    return jax.tree.unflatten(treedef, out)
+
+
+def extract_home(tree, plan: FramePlan, return_packed: bool = False):
     """Re-index every per-splat leaf ([N, ...]) of `tree` into home order
     ([NH, ...]) through plan.pidx; other leaves (optimizer step counts)
-    pass through. Copies of a fat parent start as identical rows. One
-    row gather per leaf — paid at resort cadence only."""
+    pass through. Copies of a fat parent start as identical rows. All
+    leaves ride ONE packed row gather — paid at resort cadence only.
+    `tree` may be any pytree (params, optimizer state, or a tuple of
+    both). With return_packed, also returns the packed [NH, C] matrix —
+    the resort-time snapshot fold_back diffs against (keeping it skips
+    re-extracting the master at fold time, ~160 ms at bench scale)."""
     idx = plan.pidx  # [NH]; value N = the inert zero pad row
+    leaves, treedef, li, shapes, packed = _pack(tree, plan.n)
+    if packed is None:
+        return (tree, None) if return_packed else tree
+    pp = jnp.concatenate([packed, jnp.zeros_like(packed[:1])])
+    home = pp[idx]
+    out = _unpack(leaves, treedef, li, shapes, home, plan.nh)
+    return (out, home) if return_packed else out
 
-    def gt(x):
-        if not _is_per_splat(x, plan.n):
-            return x
-        xp = jnp.concatenate([x, jnp.zeros_like(x[:1])])
-        return xp[idx]
 
-    return jax.tree.map(gt, tree)
-
-
-def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean"):
+def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean",
+              copy_cols=None):
     """Fold K steps of home-space training back into splat order:
     master + reduce_rows(hp − hp0). Primary rows map bijectively through
     the inverse permutation; copy rows segment-reduce onto their fat
-    parent (homesort.reduce_home_rows — the same machinery as
-    home_gather's VJP, now paid once per resort instead of every step).
+    parent (the same machinery as home_gather's VJP, now paid once per
+    resort instead of every step). All leaves (e.g. params + both Adam
+    moments as a tuple tree) ride ONE packed pair of row gathers, with
+    the live-row count as an extra column.
 
     reduce="mean" divides each splat's summed delta by its live row
     count: per-row Adam steps are lr-scale regardless of how the
@@ -244,35 +383,90 @@ def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean"):
     would scale a many-copy splat's effective step by its copy count —
     the mean keeps it at one step's scale (and is exact for thin
     splats, where the row count is 1). reduce="sum" is exact for
-    gradient-linear optimizers (plain SGD)."""
-    n = plan.n
-    f = plan.inv_tail.shape[0]
+    gradient-linear optimizers (plain SGD).
 
-    def red(d2):
-        return reduce_home_rows(
-            d2, n, f, plan.inv, plan.inv_tail, plan.seg_base
-        )
-
+    `copy_cols`: a pytree of bools matching `master` (or None = all
+    True): leaves marked False skip the copy-segment reduction and fold
+    the PRIMARY row's delta only. The trainer marks the Adam moments
+    False — they are per-row statistics whose primary value is
+    representative, and the segment cumsum is the fold's widest cost
+    (the reduction's column count drops 43 → 15 at bench scale)."""
     if reduce not in ("mean", "sum"):
         raise ValueError(f"unknown reduce {reduce!r}")
+    n = plan.n
+    f = plan.inv_tail.shape[0]
+    nh = plan.nh
+    m_leaves, m_def, m_idx, m_shapes, m_packed = _pack(master, n)
+    h_leaves, h_def, h_idx, h_shapes, h_packed = _pack(hp, plan.nh)
+    if isinstance(hp0, jax.Array):
+        h0_packed = hp0  # the packed resort snapshot (extract_home)
+    else:
+        _, _, _, _, h0_packed = _pack(hp0, plan.nh)
+    # non-packed leaves (scalars like the Adam step count): take the
+    # stepped home-space value
+    out = list(m_leaves)
+    for i, (ml, hl) in enumerate(zip(m_leaves, h_leaves)):
+        if i not in m_idx:
+            out[i] = hl
+    if m_packed is None:
+        return jax.tree.unflatten(m_def, out)
+    # per-column copy-reduction mask from the per-leaf tree; the True
+    # columns must form a contiguous PREFIX of the packed layout (they
+    # do for the trainer's (params, opt_state) tuple — params flatten
+    # first) so the tail reduction is a plain slice, not a lane gather
+    def _w(s):
+        p = 1
+        for x in s:
+            p *= x
+        return p
+
+    C = sum(_w(s) for s in m_shapes)
+    if copy_cols is None:
+        k_copy = C
+    else:
+        cc_leaves = jax.tree.flatten(copy_cols)[0]
+        cmask = []
+        for i, s in zip(m_idx, m_shapes):
+            cmask += [bool(cc_leaves[i])] * _w(s)
+        k_copy = sum(cmask)
+        if any(cmask[k_copy:]) or not all(cmask[:k_copy]):
+            raise ValueError(
+                "copy_cols=True leaves must pack as a contiguous prefix "
+                "(put the parameter tree first in the master tuple)"
+            )
+
     # only LIVE rows carry state (dead rows hold the inert pad and
     # receive no grads, but mask anyway so arbitrary deltas — and any
     # numerical junk parked on dead rows — never reach a parent)
     live = (plan.pidx < n).astype(jnp.float32)[:, None]
-    cnt = None
+    d = jnp.concatenate([(h_packed - h0_packed) * live, live], axis=1)
+    dpad = jnp.concatenate([d, jnp.zeros_like(d[:1])])
+    take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
+    dx = take(plan.inv)  # [N, C+1]
+    red, cnt_live = dx[:, :-1], dx[:, -1:]
+    if f and k_copy:
+        d_tail = take(plan.inv_tail)  # [F, C+1]
+        seg = reduce_copy_segments(
+            jnp.concatenate(
+                [d_tail[:, :k_copy], d_tail[:, -1:]], axis=1
+            ),
+            plan.seg_base,
+        )
+        red = jnp.concatenate(
+            [red[:, :k_copy] + seg[:, :-1], red[:, k_copy:]], axis=1
+        )
+        cnt = jnp.maximum(cnt_live + seg[:, -1:], 1.0)
+    else:
+        cnt = jnp.maximum(cnt_live, 1.0)
     if reduce == "mean":
-        cnt = jnp.maximum(red(live), 1.0)  # [N, 1] live rows per splat
-
-    def fold_leaf(x, h, h0):
-        if not _is_per_splat(h, plan.nh):
-            return h  # scalars (optimizer step count): take the stepped value
-        d = (h - h0).reshape(plan.nh, -1) * live
-        r = red(d)
-        if cnt is not None:
-            r = r / cnt
-        return x + r.reshape(x.shape).astype(x.dtype)
-
-    return jax.tree.map(fold_leaf, master, hp, hp0)
+        # copy-reduced columns average over all live rows; primary-only
+        # columns took exactly one row's delta (or none if truncated)
+        red = jnp.concatenate(
+            [red[:, :k_copy] / cnt, red[:, k_copy:]], axis=1
+        )
+    folded = m_packed + red
+    merged = _unpack(out, m_def, m_idx, m_shapes, folded, n)
+    return merged
 
 
 # --------------------------------------------------------------------------
@@ -315,11 +509,16 @@ def lazy_render(hp, cam: Camera, cfg: RenderConfig, plan: FramePlan,
         plan.tile_of, plan.ty0, plan.tiles_x, plan.band_rows, cfg,
     )
     img, T_map = assemble_band(img_t, T_t, plan, cfg)
-    img = img[: cam.height, : cam.width]
+    if plan.band_rows >= cfg.tiles_y(cam.height):
+        # full-image plan: crop to the viewport; band plans return the
+        # band-padded image like parallel.render_sharded._render_band
+        img = img[: cam.height]
+        T_map = T_map[: cam.height]
+    img = img[:, : cam.width]
     if not return_aux:
         return img
     aux = dict(plan.ovf)
-    aux["transmittance"] = T_map[: cam.height, : cam.width]
+    aux["transmittance"] = T_map[:, : cam.width]
     return img, aux
 
 
@@ -349,6 +548,40 @@ def make_lazy_step(cfg: RenderConfig, optimizer):
 # --------------------------------------------------------------------------
 
 
+_STEP_CACHE = {}
+
+
+def _lazy_step_cached(cfg, optimizer):
+    """Share one compiled lazy step across LazyTrainer instances (a
+    fresh jit wrapper per instance would recompile — or cache-hit
+    through the slow axon tunnel — at every construction)."""
+    key = (cfg, id(optimizer))
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_lazy_step(cfg, optimizer)
+    return _STEP_CACHE[key]
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, plan):
+    """One packed fold of (params, optimizer state) against the resort
+    snapshot. Module-level so every LazyTrainer instance shares one
+    compiled program. Params fold through the copy-segment reduction;
+    optimizer moments fold primary-row-only (copy_cols) — the segment
+    cumsum then runs at 15 columns instead of 43."""
+    copy_cols = (
+        jax.tree.map(lambda _: True, g),
+        jax.tree.map(lambda _: False, opt_state),
+    )
+    return fold_back(
+        (g, opt_state), (hp, hp_opt), h0_packed, plan, reduce, copy_cols
+    )
+
+
+@jax.jit
+def _extract_jit(master, plan):
+    return extract_home(master, plan, return_packed=True)
+
+
 class LazyTrainer:
     """Drives lazy training: master (g, opt_state) in splat order,
     home-resident (hp, hp_opt) between resorts.
@@ -373,30 +606,19 @@ class LazyTrainer:
         self.plan = None
         self.hp = None
         self.hp_opt = None
-        self._step = make_lazy_step(cfg, optimizer)
-        # hp/hp_opt are donated by the step, so the resort-time snapshot
-        # (hp0) is NOT kept as an alias — the fold re-extracts it from
-        # the (unchanged) master state instead
-        self._fold = jax.jit(
-            partial(self._fold_impl, reduce=reduce), donate_argnums=(2, 3)
-        )
-        self._extract = jax.jit(extract_home)
-
-    @staticmethod
-    def _fold_impl(g, opt_state, hp, hp_opt, plan, reduce):
-        g2 = fold_back(g, hp, extract_home(g, plan), plan, reduce)
-        opt2 = fold_back(
-            opt_state, hp_opt, extract_home(opt_state, plan), plan, reduce
-        )
-        return g2, opt2
+        self._h0 = None  # packed [NH, C] resort snapshot (own buffer —
+        #                  the step donates hp/hp_opt, never this)
+        self._step = _lazy_step_cached(cfg, optimizer)
 
     def sync(self):
-        """Fold home-space progress back into the master state."""
+        """Fold home-space progress back into the master state (one
+        packed reduction over params + both Adam moments)."""
         if self.plan is not None:
-            self.g, self.opt_state = self._fold(
-                self.g, self.opt_state, self.hp, self.hp_opt, self.plan
+            self.g, self.opt_state = _fold_jit(
+                self.g, self.opt_state, self.hp, self.hp_opt, self._h0,
+                self.reduce, self.plan,
             )
-            self.hp = self.hp_opt = None
+            self.hp = self.hp_opt = self._h0 = None
             self.plan = None
         return self.g
 
@@ -405,8 +627,9 @@ class LazyTrainer:
         this camera, and re-extract home-resident state."""
         self.sync()
         self.plan = build_frame_plan(self.g, cam, self.cfg)
-        self.hp = self._extract(self.g, self.plan)
-        self.hp_opt = self._extract(self.opt_state, self.plan)
+        (self.hp, self.hp_opt), self._h0 = _extract_jit(
+            (self.g, self.opt_state), self.plan
+        )
         return self.plan
 
     def step(self, target, cam: Camera):

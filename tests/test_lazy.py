@@ -196,6 +196,34 @@ def test_lazy_step_gradients_flow(rng):
         assert d > 0, (f, moved)
 
 
+def test_band_plan_matches_render_band(rng):
+    """A band plan + fresh extract reproduces the tile-sharded exact
+    band render bit-for-bit (prefilter + slice + band streams frozen,
+    attributes fresh) — the per-device resort of the lazy sharded
+    path."""
+    from gsjax.parallel.render_sharded import _render_band
+    from gsjax.render.lazy import build_band_plan
+
+    g = make_random_scene(rng, n=3000, sh_degree=1, spread=2.2,
+                          z_range=(3.0, 9.0))
+    cam = _cam()
+    band = CFG.tiles_y(cam.height) // 2
+    for ty0 in (0, band):
+        img_e, _ = jax.jit(
+            lambda g, t: _render_band(g, cam, CFG, t, band)
+        )(g, jnp.int32(ty0))
+        plan = build_band_plan(g, cam, CFG, ty0, band)
+        assert int(plan.ovf["n_band_overflow"]) == 0
+        hp = extract_home(g, plan)
+        img_l = jax.jit(
+            lambda hp, p: lazy_render(hp, cam, CFG, p)
+        )(hp, plan)
+        np.testing.assert_allclose(
+            np.asarray(img_l), np.asarray(img_e[:, : cam.width]),
+            atol=2e-5,
+        )
+
+
 def test_fold_back_mean_vs_sum(rng):
     """A uniform per-row delta folds back to exactly that delta under
     reduce='mean' (row count cancels), and to count x delta under
