@@ -306,15 +306,26 @@ def _rect_y_ranges(g, cam, cfg: RenderConfig):
     return np.asarray(jax.device_get(y0)), np.asarray(jax.device_get(y1))
 
 
-def derive_row_cuts(g, cam, cfg: RenderConfig, n_devices: int, m=None):
+def derive_row_cuts(g, cam, cfg: RenderConfig, n_devices: int, m=None,
+                    row_weight: float = 0.0):
     """Equal-CONTENT tile-row partition: cuts [D+1] so every band holds
     ≈ the same per-tile candidate mass (the quantity per-device cost
     actually follows under rows_live-bounded static shapes). Use with
     make_train_step_equalized + derive_shard_caps(bands=...). `m` (a
-    measure_occupancy dict) skips re-measuring."""
+    measure_occupancy dict) skips re-measuring.
+
+    `row_weight` adds a per-tile-row constant (in candidate units) to
+    the balanced mass: the lazy band step's measured cost is
+    ≈ a·candidates + b·rows (each touched column block pays its
+    dmach-rounded band DMA/flush regardless of content, so sparse
+    many-row bands are row-bound — tools/bench_scaling_lazy.py fits
+    a, b and passes row_weight = b/a)."""
     if m is None:
         m = measure_occupancy(g, cam, cfg)
-    row_cand = m["cand"].reshape(m["tiles_y"], m["tiles_x"]).sum(1)
+    row_cand = (
+        m["cand"].reshape(m["tiles_y"], m["tiles_x"]).sum(1)
+        + float(row_weight)
+    )
     cum = np.concatenate([[0], np.cumsum(row_cand)])
     total = cum[-1]
     cuts = [0]
