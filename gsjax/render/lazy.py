@@ -561,17 +561,25 @@ def _lazy_step_cached(cfg, optimizer):
     return _STEP_CACHE[key]
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, plan):
+@partial(jax.jit, static_argnums=(5, 6))
+def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, fold_moments,
+              plan):
     """One packed fold of (params, optimizer state) against the resort
     snapshot. Module-level so every LazyTrainer instance shares one
-    compiled program. Params fold through the copy-segment reduction;
-    optimizer moments fold primary-row-only (copy_cols) — the segment
-    cumsum then runs at 15 columns instead of 43."""
-    copy_cols = (
-        jax.tree.map(lambda _: True, g),
-        jax.tree.map(lambda _: False, opt_state),
-    )
+    compiled program. Params always fold through the copy-segment
+    reduction; fold_moments="primary" folds optimizer moments
+    primary-row-only (the segment cumsum then runs at 15 columns instead
+    of 43 — ~100 ms cheaper per resort), "mean" averages them over all
+    live rows like the params (a fat parent's moment estimate then sees
+    every copy's gradient share — measured lower per-resort bias,
+    tools/probe_lazy_drift.py)."""
+    if fold_moments == "mean":
+        copy_cols = None
+    else:
+        copy_cols = (
+            jax.tree.map(lambda _: True, g),
+            jax.tree.map(lambda _: False, opt_state),
+        )
     return fold_back(
         (g, opt_state), (hp, hp_opt), h0_packed, plan, reduce, copy_cols
     )
@@ -597,11 +605,13 @@ class LazyTrainer:
     current params); subsequent steps reuse the layout with fresh
     attributes. Resort overflow counters gate via `tr.plan.ovf`."""
 
-    def __init__(self, g, cfg: RenderConfig, optimizer, reduce="mean"):
+    def __init__(self, g, cfg: RenderConfig, optimizer, reduce="mean",
+                 fold_moments="primary"):
         self.g = g
         self.cfg = cfg
         self.optimizer = optimizer
         self.reduce = reduce
+        self.fold_moments = fold_moments
         self.opt_state = optimizer.init(g)
         self.plan = None
         self.hp = None
@@ -616,7 +626,7 @@ class LazyTrainer:
         if self.plan is not None:
             self.g, self.opt_state = _fold_jit(
                 self.g, self.opt_state, self.hp, self.hp_opt, self._h0,
-                self.reduce, self.plan,
+                self.reduce, self.fold_moments, self.plan,
             )
             self.hp = self.hp_opt = self._h0 = None
             self.plan = None

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--wh", default="1920x1080")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--ks", type=int, nargs="*", default=[1, 4, 16])
+    ap.add_argument("--fold-moments", default="primary",
+                    choices=["primary", "mean"])
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -53,7 +55,8 @@ def main():
     g = perturb(g0)
     opt = optax.adam(1e-3)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # no donation: `g` is reused as the lazy runs' starting point
+    @jax.jit
     def exact_step(g, s, target):
         def lf(g):
             return jnp.mean((render(g, cam, cfg) - target) ** 2)
@@ -75,7 +78,7 @@ def main():
     el = np.asarray(el)
 
     for K in args.ks:
-        tr = LazyTrainer(g, cfg, opt)
+        tr = LazyTrainer(g, cfg, opt, fold_moments=args.fold_moments)
         ll = []
         t0 = time.perf_counter()
         for s in range(args.steps):
@@ -93,12 +96,16 @@ def main():
             a = np.asarray(getattr(ge, f))
             b = np.asarray(getattr(gl, f))
             pd[f] = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+        psnr = lambda x: -10.0 * np.log10(max(x, 1e-12))
         print(
             f"K={K:3d}: max step-loss drift {rel.max()*100:6.2f}%  "
             f"final lazy/exact {ll[-1]/el[-1]:6.3f}  "
             f"post-sync exact-rendered loss {le:.3e} (exact path {lee:.3e})  "
             f"max param drift {max(pd.values())*100:.2f}% "
-            f"({max(pd, key=pd.get)})  [{dt:.1f}s]",
+            f"({max(pd, key=pd.get)})  [{dt:.1f}s]\n"
+            f"       PSNR vs target: start {psnr(el[0]):.1f} dB → exact "
+            f"{psnr(lee):.1f} dB, lazy in-window {psnr(ll[-1]):.1f} dB, "
+            f"lazy post-sync {psnr(le):.1f} dB",
             flush=True,
         )
 
