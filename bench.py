@@ -224,7 +224,10 @@ def main():
         # stationary workload (see perturb())
         render_t = jax.jit(lambda g, cam: render(g, cam, cfg))
         t0 = time.perf_counter()
-        targets = [render_t(g, cam) for cam in cams]
+        # garden holds 30 targets + 5M-splat home state: store targets
+        # bf16 (the loss promotes to f32; values shift ~1e-3 relative)
+        tdt = jnp.bfloat16 if args.scene == "garden" else jnp.float32
+        targets = [render_t(g, cam).astype(tdt) for cam in cams]
         jax.device_get(targets[-1].ravel()[0])
         black = float(jnp.mean(targets[0] ** 2))
         print(
@@ -338,7 +341,10 @@ def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
     if cfg.backend != "stream":
         raise SystemExit("# lazy modes need the stream backend (TPU)")
 
-    tr = LazyTrainer(g, cfg, opt)
+    # garden cannot afford the packed [NH, C] resort snapshot (~3.9 GB);
+    # the fold re-derives it from the master instead
+    snap = args.scene != "garden"
+    tr = LazyTrainer(g, cfg, opt, snapshot=snap)
     # warm every compile path (plan, extract, step, fold) without
     # counting it; loss0 of the very first step is the exact-path loss
     # (the post-resort step IS exact)
@@ -357,7 +363,7 @@ def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
     )
 
     # fresh trainer for the timed run (jits are module-level: warm)
-    tr = LazyTrainer(g, cfg, opt)
+    tr = LazyTrainer(g, cfg, opt, snapshot=snap)
     ovfs = []
     if args.mode == "orbit":
         spv = args.steps_per_view

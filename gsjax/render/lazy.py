@@ -322,49 +322,86 @@ def _packable(x, n: int):
     return _is_per_splat(x, n) and x.dtype == jnp.float32
 
 
-def _pack(tree, n):
-    """Flatten `tree` and concatenate every per-splat f32 leaf into ONE
-    [n, C] matrix (row gathers and the fold reduction are priced per
-    ROW, not width — 15 separate 2.6M-row gathers for params + two Adam
-    moments measured ~35 ms EACH; packed they are one). Returns
-    (leaves, treedef, idx, shapes, packed)."""
+#: column-group bound for the packed extract/fold passes. One giant
+#: [NH, C_all] pack is fastest to write but its temporaries OOM'd the
+#: 16 GB chip at garden scale (5M splats, sh2: C_all = 116 → ~4 GB per
+#: temp); at these widths row-gather cost is ∝ bytes, so processing
+#: ≤_GROUP_COLS-column groups costs the same and bounds peak memory.
+_GROUP_COLS = 64
+
+
+def _leaf_mats(tree, n):
+    """(leaves, treedef, li, shapes, mats, col_ranges): the per-splat f32
+    leaves as [n, w] matrices plus their column ranges in the packed
+    layout."""
     leaves, treedef = jax.tree.flatten(tree)
-    idx = [i for i, l in enumerate(leaves) if _packable(l, n)]
-    mats = [leaves[i].reshape(n, -1) for i in idx]
-    packed = jnp.concatenate(mats, axis=1) if mats else None
-    shapes = [leaves[i].shape[1:] for i in idx]
-    return leaves, treedef, idx, shapes, packed
-
-
-def _unpack(leaves, treedef, idx, shapes, packed, rows):
-    out = list(leaves)
+    li = [i for i, l in enumerate(leaves) if _packable(l, n)]
+    mats = [leaves[i].reshape(n, -1) for i in li]
+    shapes = [leaves[i].shape[1:] for i in li]
+    cols = []
     o = 0
-    for i, shp in zip(idx, shapes):
-        w = 1
-        for s in shp:
-            w *= s
-        out[i] = packed[:, o : o + w].reshape((rows,) + tuple(shp))
-        o += w
-    return jax.tree.unflatten(treedef, out)
+    for m in mats:
+        cols.append((o, o + m.shape[1]))
+        o += m.shape[1]
+    return leaves, treedef, li, shapes, mats, cols
+
+
+def _leaf_groups(mats, max_cols=_GROUP_COLS):
+    """[(leaf_lo, leaf_hi, col_lo, col_hi)] — consecutive leaves grouped
+    to ≤ max_cols packed columns each (group temps stay bounded at
+    garden scale; see _GROUP_COLS)."""
+    out = []
+    l0 = 0
+    c0 = 0
+    w = 0
+    for j, m in enumerate(mats):
+        lw = m.shape[1]
+        if w and w + lw > max_cols:
+            out.append((l0, j, c0, c0 + w))
+            l0, c0 = j, c0 + w
+            w = 0
+        w += lw
+    if w:
+        out.append((l0, len(mats), c0, c0 + w))
+    return out
 
 
 def extract_home(tree, plan: FramePlan, return_packed: bool = False):
     """Re-index every per-splat leaf ([N, ...]) of `tree` into home order
     ([NH, ...]) through plan.pidx; other leaves (optimizer step counts)
-    pass through. Copies of a fat parent start as identical rows. All
-    leaves ride ONE packed row gather — paid at resort cadence only.
-    `tree` may be any pytree (params, optimizer state, or a tuple of
-    both). With return_packed, also returns the packed [NH, C] matrix —
-    the resort-time snapshot fold_back diffs against (keeping it skips
-    re-extracting the master at fold time, ~160 ms at bench scale)."""
+    pass through. Copies of a fat parent start as identical rows. Leaves
+    ride packed row gathers in ≤_GROUP_COLS-column groups (one gather's
+    cost is ∝ bytes at these widths, so grouping is free; a single
+    all-columns pack OOM'd at garden scale) — paid at resort cadence
+    only. `tree` may be any pytree (params, optimizer state, or a tuple
+    of both). With return_packed, also returns the packed [NH, C]
+    matrix — the resort-time snapshot fold_back diffs against."""
     idx = plan.pidx  # [NH]; value N = the inert zero pad row
-    leaves, treedef, li, shapes, packed = _pack(tree, plan.n)
-    if packed is None:
+    leaves, treedef, li, shapes, mats, _cols = _leaf_mats(tree, plan.n)
+    if not mats:
         return (tree, None) if return_packed else tree
-    pp = jnp.concatenate([packed, jnp.zeros_like(packed[:1])])
-    home = pp[idx]
-    out = _unpack(leaves, treedef, li, shapes, home, plan.nh)
-    return (out, home) if return_packed else out
+    out = list(leaves)
+    parts = []
+    for l0, l1, c0, c1 in _leaf_groups(mats):
+        src = (
+            mats[l0] if l1 == l0 + 1
+            else jnp.concatenate(mats[l0:l1], axis=1)
+        )
+        pp = jnp.concatenate([src, jnp.zeros_like(src[:1])])
+        home_g = pp[idx]
+        if return_packed:
+            parts.append(home_g)
+        o = 0
+        for j in range(l0, l1):
+            w = mats[j].shape[1]
+            out[li[j]] = home_g[:, o : o + w].reshape(
+                (plan.nh,) + tuple(shapes[j])
+            )
+            o += w
+    res = jax.tree.unflatten(treedef, out)
+    if return_packed:
+        return res, jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return res
 
 
 def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean",
@@ -396,38 +433,29 @@ def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean",
     n = plan.n
     f = plan.inv_tail.shape[0]
     nh = plan.nh
-    m_leaves, m_def, m_idx, m_shapes, m_packed = _pack(master, n)
-    h_leaves, h_def, h_idx, h_shapes, h_packed = _pack(hp, plan.nh)
-    if isinstance(hp0, jax.Array):
-        h0_packed = hp0  # the packed resort snapshot (extract_home)
-    else:
-        _, _, _, _, h0_packed = _pack(hp0, plan.nh)
+    m_leaves, m_def, m_li, m_shapes, m_mats, _ = _leaf_mats(master, n)
+    h_leaves, _, h_li, _, h_mats, _ = _leaf_mats(hp, plan.nh)
     # non-packed leaves (scalars like the Adam step count): take the
     # stepped home-space value
     out = list(m_leaves)
-    for i, (ml, hl) in enumerate(zip(m_leaves, h_leaves)):
-        if i not in m_idx:
-            out[i] = hl
-    if m_packed is None:
+    for i in range(len(m_leaves)):
+        if i not in m_li:
+            out[i] = h_leaves[i]
+    if not m_mats:
         return jax.tree.unflatten(m_def, out)
     # per-column copy-reduction mask from the per-leaf tree; the True
     # columns must form a contiguous PREFIX of the packed layout (they
     # do for the trainer's (params, opt_state) tuple — params flatten
     # first) so the tail reduction is a plain slice, not a lane gather
-    def _w(s):
-        p = 1
-        for x in s:
-            p *= x
-        return p
-
-    C = sum(_w(s) for s in m_shapes)
+    widths = [m.shape[1] for m in m_mats]
+    C = sum(widths)
     if copy_cols is None:
         k_copy = C
     else:
         cc_leaves = jax.tree.flatten(copy_cols)[0]
         cmask = []
-        for i, s in zip(m_idx, m_shapes):
-            cmask += [bool(cc_leaves[i])] * _w(s)
+        for j, i in enumerate(m_li):
+            cmask += [bool(cc_leaves[i])] * widths[j]
         k_copy = sum(cmask)
         if any(cmask[k_copy:]) or not all(cmask[:k_copy]):
             raise ValueError(
@@ -439,34 +467,82 @@ def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean",
     # receive no grads, but mask anyway so arbitrary deltas — and any
     # numerical junk parked on dead rows — never reach a parent)
     live = (plan.pidx < n).astype(jnp.float32)[:, None]
-    d = jnp.concatenate([(h_packed - h0_packed) * live, live], axis=1)
-    dpad = jnp.concatenate([d, jnp.zeros_like(d[:1])])
-    take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
-    dx = take(plan.inv)  # [N, C+1]
-    red, cnt_live = dx[:, :-1], dx[:, -1:]
-    if f and k_copy:
-        d_tail = take(plan.inv_tail)  # [F, C+1]
-        seg = reduce_copy_segments(
-            jnp.concatenate(
-                [d_tail[:, :k_copy], d_tail[:, -1:]], axis=1
-            ),
-            plan.seg_base,
+    pidx_take = jnp.where(plan.pidx < n, plan.pidx, n)  # for h0 recompute
+    cnt = None  # computed with the first copy-reduced group
+
+    # process in ≤_GROUP_COLS-column groups: one giant [NH, C_all] pack
+    # is equivalent arithmetic but its temporaries OOM at garden scale
+    for l0, l1, c0, c1 in _leaf_groups(m_mats):
+        h_g = (
+            h_mats[l0] if l1 == l0 + 1
+            else jnp.concatenate(h_mats[l0:l1], axis=1)
         )
-        red = jnp.concatenate(
-            [red[:, :k_copy] + seg[:, :-1], red[:, k_copy:]], axis=1
+        m_g = (
+            m_mats[l0] if l1 == l0 + 1
+            else jnp.concatenate(m_mats[l0:l1], axis=1)
         )
-        cnt = jnp.maximum(cnt_live + seg[:, -1:], 1.0)
-    else:
-        cnt = jnp.maximum(cnt_live, 1.0)
-    if reduce == "mean":
-        # copy-reduced columns average over all live rows; primary-only
-        # columns took exactly one row's delta (or none if truncated)
-        red = jnp.concatenate(
-            [red[:, :k_copy] / cnt, red[:, k_copy:]], axis=1
-        )
-    folded = m_packed + red
-    merged = _unpack(out, m_def, m_idx, m_shapes, folded, n)
-    return merged
+        if hp0 is None:
+            # no snapshot kept (memory mode): the resort-time home state
+            # is re-derived from the (unchanged) master, group-sized
+            mp = jnp.concatenate([m_g, jnp.zeros_like(m_g[:1])])
+            h0_g = mp[pidx_take] * live  # dead rows held the zero pad
+        elif isinstance(hp0, jax.Array):
+            h0_g = hp0[:, c0:c1]  # the packed resort snapshot
+        else:
+            _, _, _, _, h0_mats, _ = _leaf_mats(hp0, plan.nh)
+            h0_g = (
+                h0_mats[l0] if l1 == l0 + 1
+                else jnp.concatenate(h0_mats[l0:l1], axis=1)
+            )
+        kc_g = min(max(k_copy - c0, 0), c1 - c0)
+        d = (h_g - h0_g) * live
+        if kc_g or cnt is None:
+            d = jnp.concatenate([d, live], axis=1)
+        dpad = jnp.concatenate([d, jnp.zeros_like(d[:1])])
+        take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
+        dx = take(plan.inv)
+        if kc_g or cnt is None:
+            dx, cnt_live = dx[:, :-1], dx[:, -1:]
+        red = dx
+        if f and kc_g:
+            d_tail = take(plan.inv_tail)
+            seg = reduce_copy_segments(
+                jnp.concatenate(
+                    [d_tail[:, :kc_g], d_tail[:, -1:]], axis=1
+                ),
+                plan.seg_base,
+            )
+            red = jnp.concatenate(
+                [red[:, :kc_g] + seg[:, :-1], red[:, kc_g:]], axis=1
+            )
+            if cnt is None:
+                cnt = jnp.maximum(cnt_live + seg[:, -1:], 1.0)
+        elif cnt is None:
+            # no copy-reduced columns anywhere before this group: the
+            # live count still needs the tail reduction once
+            if f and k_copy:
+                lt = take(plan.inv_tail)[:, -1:]
+                cnt = jnp.maximum(
+                    cnt_live + reduce_copy_segments(lt, plan.seg_base),
+                    1.0,
+                )
+            else:
+                cnt = jnp.maximum(cnt_live, 1.0)
+        if reduce == "mean" and kc_g:
+            # copy-reduced columns average over all live rows;
+            # primary-only columns took exactly one row's delta
+            red = jnp.concatenate(
+                [red[:, :kc_g] / cnt, red[:, kc_g:]], axis=1
+            )
+        folded = m_g + red
+        o = 0
+        for j in range(l0, l1):
+            w = widths[j]
+            out[m_li[j]] = folded[:, o : o + w].reshape(
+                (n,) + tuple(m_shapes[j])
+            )
+            o += w
+    return jax.tree.unflatten(m_def, out)
 
 
 # --------------------------------------------------------------------------
@@ -561,7 +637,7 @@ def _lazy_step_cached(cfg, optimizer):
     return _STEP_CACHE[key]
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5, 6), donate_argnums=(2, 3))
 def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, fold_moments,
               plan):
     """One packed fold of (params, optimizer state) against the resort
@@ -585,9 +661,9 @@ def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, fold_moments,
     )
 
 
-@jax.jit
-def _extract_jit(master, plan):
-    return extract_home(master, plan, return_packed=True)
+@partial(jax.jit, static_argnums=(2,))
+def _extract_jit(master, plan, return_packed=True):
+    return extract_home(master, plan, return_packed)
 
 
 class LazyTrainer:
@@ -606,12 +682,17 @@ class LazyTrainer:
     attributes. Resort overflow counters gate via `tr.plan.ovf`."""
 
     def __init__(self, g, cfg: RenderConfig, optimizer, reduce="mean",
-                 fold_moments="primary"):
+                 fold_moments="primary", snapshot=True):
         self.g = g
         self.cfg = cfg
         self.optimizer = optimizer
         self.reduce = reduce
         self.fold_moments = fold_moments
+        # snapshot=False trades ~160 ms/resort (the fold re-derives the
+        # resort-time home state from the master, group-sized) for not
+        # keeping a full packed [NH, C] copy alive — required at garden
+        # scale (5M splats, sh2: the snapshot alone is ~3.9 GB)
+        self.snapshot = snapshot
         self.opt_state = optimizer.init(g)
         self.plan = None
         self.hp = None
@@ -637,9 +718,15 @@ class LazyTrainer:
         this camera, and re-extract home-resident state."""
         self.sync()
         self.plan = build_frame_plan(self.g, cam, self.cfg)
-        (self.hp, self.hp_opt), self._h0 = _extract_jit(
-            (self.g, self.opt_state), self.plan
-        )
+        if self.snapshot:
+            (self.hp, self.hp_opt), self._h0 = _extract_jit(
+                (self.g, self.opt_state), self.plan, True
+            )
+        else:
+            self.hp, self.hp_opt = _extract_jit(
+                (self.g, self.opt_state), self.plan, False
+            )
+            self._h0 = None
         return self.plan
 
     def step(self, target, cam: Camera):

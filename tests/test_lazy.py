@@ -244,6 +244,12 @@ def test_fold_back_mean_vs_sum(rng):
     untouched = np.setdiff1d(np.arange(plan.n), touched)
     if untouched.size:
         np.testing.assert_allclose(dm[untouched], 0.0, atol=1e-9)
+    # snapshot-free mode (hp0=None): the fold re-derives the resort-time
+    # home state from the master — identical result
+    gm2 = fold_back(g, hp2, None, plan, reduce="mean")
+    np.testing.assert_allclose(
+        np.asarray(gm2.means), np.asarray(gm.means), atol=1e-7
+    )
     gs = fold_back(g, hp2, hp, plan, reduce="sum")
     ds = np.asarray(gs.means - g.means)
     cnt = np.bincount(np.asarray(plan.pidx)[live], minlength=plan.n + 1)[:-1]
