@@ -26,6 +26,12 @@ from gsjax.io.splat import load_splat, save_splat
 from gsjax.io.ply import load_ply
 from gsjax.io.stream import load_ply_streamed, load_splat_streamed
 from gsjax.core import transforms
+from gsjax.render.lazy import (
+    FramePlan,
+    LazyTrainer,
+    build_frame_plan,
+    lazy_render,
+)
 from gsjax.camera.orbit import OrbitCamera
 from gsjax.camera import controls
 from gsjax.camera.json_io import camera_from_json, camera_to_json, cameras_from_json
@@ -44,6 +50,10 @@ __all__ = [
     "load_ply_streamed",
     "load_splat_streamed",
     "transforms",
+    "FramePlan",
+    "LazyTrainer",
+    "build_frame_plan",
+    "lazy_render",
     "BandedGaussians",
     "OrbitCamera",
     "controls",

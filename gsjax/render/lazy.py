@@ -346,7 +346,7 @@ def _leaf_mats(tree, n):
     return leaves, treedef, li, shapes, mats, cols
 
 
-def _leaf_groups(mats, max_cols=_GROUP_COLS):
+def _leaf_groups(widths, max_cols=_GROUP_COLS):
     """[(leaf_lo, leaf_hi, col_lo, col_hi)] — consecutive leaves grouped
     to ≤ max_cols packed columns each (group temps stay bounded at
     garden scale; see _GROUP_COLS)."""
@@ -354,16 +354,29 @@ def _leaf_groups(mats, max_cols=_GROUP_COLS):
     l0 = 0
     c0 = 0
     w = 0
-    for j, m in enumerate(mats):
-        lw = m.shape[1]
+    for j, lw in enumerate(widths):
         if w and w + lw > max_cols:
             out.append((l0, j, c0, c0 + w))
             l0, c0 = j, c0 + w
             w = 0
         w += lw
     if w:
-        out.append((l0, len(mats), c0, c0 + w))
+        out.append((l0, len(widths), c0, c0 + w))
     return out
+
+
+def _leaf_info(tree, n):
+    """Like _leaf_mats but WITHOUT reshaping (host-side reshapes
+    dispatch device copies): (leaves, treedef, li, widths)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    li = [i for i, l in enumerate(leaves) if _packable(l, n)]
+    widths = []
+    for i in li:
+        w = 1
+        for s in leaves[i].shape[1:]:
+            w *= s
+        widths.append(w)
+    return leaves, treedef, li, widths
 
 
 def extract_home(tree, plan: FramePlan, return_packed: bool = False):
@@ -382,7 +395,7 @@ def extract_home(tree, plan: FramePlan, return_packed: bool = False):
         return (tree, None) if return_packed else tree
     out = list(leaves)
     parts = []
-    for l0, l1, c0, c1 in _leaf_groups(mats):
+    for l0, l1, c0, c1 in _leaf_groups([m.shape[1] for m in mats]):
         src = (
             mats[l0] if l1 == l0 + 1
             else jnp.concatenate(mats[l0:l1], axis=1)
@@ -463,86 +476,131 @@ def fold_back(master, hp, hp0, plan: FramePlan, reduce: str = "mean",
                 "(put the parameter tree first in the master tuple)"
             )
 
-    # only LIVE rows carry state (dead rows hold the inert pad and
-    # receive no grads, but mask anyway so arbitrary deltas — and any
-    # numerical junk parked on dead rows — never reach a parent)
-    live = (plan.pidx < n).astype(jnp.float32)[:, None]
-    pidx_take = jnp.where(plan.pidx < n, plan.pidx, n)  # for h0 recompute
-    cnt = None  # computed with the first copy-reduced group
-
-    # process in ≤_GROUP_COLS-column groups: one giant [NH, C_all] pack
-    # is equivalent arithmetic but its temporaries OOM at garden scale
-    for l0, l1, c0, c1 in _leaf_groups(m_mats):
-        h_g = (
-            h_mats[l0] if l1 == l0 + 1
-            else jnp.concatenate(h_mats[l0:l1], axis=1)
-        )
-        m_g = (
-            m_mats[l0] if l1 == l0 + 1
-            else jnp.concatenate(m_mats[l0:l1], axis=1)
-        )
-        if hp0 is None:
-            # no snapshot kept (memory mode): the resort-time home state
-            # is re-derived from the (unchanged) master, group-sized
-            mp = jnp.concatenate([m_g, jnp.zeros_like(m_g[:1])])
-            h0_g = mp[pidx_take] * live  # dead rows held the zero pad
-        elif isinstance(hp0, jax.Array):
+    cnt = None  # computed with the first group, shared by the rest
+    m_leaves_p = [m_leaves[i] for i in m_li]
+    h_leaves_p = [h_leaves[i] for i in m_li]
+    for l0, l1, c0, c1 in _leaf_groups(widths):
+        h0_g = None
+        if isinstance(hp0, jax.Array):
             h0_g = hp0[:, c0:c1]  # the packed resort snapshot
-        else:
+        elif hp0 is not None:
             _, _, _, _, h0_mats, _ = _leaf_mats(hp0, plan.nh)
             h0_g = (
                 h0_mats[l0] if l1 == l0 + 1
                 else jnp.concatenate(h0_mats[l0:l1], axis=1)
             )
         kc_g = min(max(k_copy - c0, 0), c1 - c0)
-        d = (h_g - h0_g) * live
-        if kc_g or cnt is None:
-            d = jnp.concatenate([d, live], axis=1)
-        dpad = jnp.concatenate([d, jnp.zeros_like(d[:1])])
-        take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
-        dx = take(plan.inv)
-        if kc_g or cnt is None:
-            dx, cnt_live = dx[:, :-1], dx[:, -1:]
-        red = dx
-        if f and kc_g:
-            d_tail = take(plan.inv_tail)
-            seg = reduce_copy_segments(
-                jnp.concatenate(
-                    [d_tail[:, :kc_g], d_tail[:, -1:]], axis=1
-                ),
-                plan.seg_base,
-            )
-            red = jnp.concatenate(
-                [red[:, :kc_g] + seg[:, :-1], red[:, kc_g:]], axis=1
-            )
-            if cnt is None:
-                cnt = jnp.maximum(cnt_live + seg[:, -1:], 1.0)
-        elif cnt is None:
-            # no copy-reduced columns anywhere before this group: the
-            # live count still needs the tail reduction once
-            if f and k_copy:
-                lt = take(plan.inv_tail)[:, -1:]
-                cnt = jnp.maximum(
-                    cnt_live + reduce_copy_segments(lt, plan.seg_base),
-                    1.0,
-                )
-            else:
-                cnt = jnp.maximum(cnt_live, 1.0)
-        if reduce == "mean" and kc_g:
-            # copy-reduced columns average over all live rows;
-            # primary-only columns took exactly one row's delta
-            red = jnp.concatenate(
-                [red[:, :kc_g] / cnt, red[:, kc_g:]], axis=1
-            )
-        folded = m_g + red
-        o = 0
+        folded, cnt = _fold_group_body(
+            tuple(m_leaves_p[l0:l1]), tuple(h_leaves_p[l0:l1]), h0_g,
+            cnt, kc_g, reduce, plan,
+        )
         for j in range(l0, l1):
-            w = widths[j]
-            out[m_li[j]] = folded[:, o : o + w].reshape(
-                (n,) + tuple(m_shapes[j])
-            )
-            o += w
+            out[m_li[j]] = folded[j - l0]
     return jax.tree.unflatten(m_def, out)
+
+
+def _fold_group_body(m_leaves_g, h_leaves_g, h0_g, cnt, kc_g: int,
+                     reduce: str, plan: FramePlan):
+    """One column group's fold: (master [N, ...] leaves, home [NH, ...]
+    leaves, optional snapshot slice, optional shared live-count) →
+    (folded leaves, cnt). Leaves are reshaped/concatenated INSIDE (a
+    host-side reshape dispatches a real device copy of every leaf —
+    measured +5 GiB before any group ran at garden scale). h0_g=None
+    re-derives the resort-time home state from the master
+    (snapshot-free memory mode)."""
+    n, f, nh = plan.n, plan.inv_tail.shape[0], plan.nh
+    m_mats_g = [l.reshape(n, -1) for l in m_leaves_g]
+    m_g = (
+        m_mats_g[0] if len(m_mats_g) == 1
+        else jnp.concatenate(m_mats_g, axis=1)
+    )
+    h_mats_g = [l.reshape(nh, -1) for l in h_leaves_g]
+    h_g = (
+        h_mats_g[0] if len(h_mats_g) == 1
+        else jnp.concatenate(h_mats_g, axis=1)
+    )
+    # only LIVE rows carry state (dead rows hold the inert pad and
+    # receive no grads, but mask anyway so arbitrary deltas — and any
+    # numerical junk parked on dead rows — never reach a parent)
+    live = (plan.pidx < n).astype(jnp.float32)[:, None]
+    if h0_g is None:
+        mp = jnp.concatenate([m_g, jnp.zeros_like(m_g[:1])])
+        h0_g = mp[jnp.where(plan.pidx < n, plan.pidx, n)]
+    d = (h_g - h0_g) * live
+    need_cnt = cnt is None
+    if kc_g or need_cnt:
+        d = jnp.concatenate([d, live], axis=1)
+    dpad = jnp.concatenate([d, jnp.zeros_like(d[:1])])
+    take = lambda idx: dpad[jnp.where(idx < nh, idx, nh)]
+    dx = take(plan.inv)
+    cnt_live = None
+    if kc_g or need_cnt:
+        dx, cnt_live = dx[:, :-1], dx[:, -1:]
+    red = dx
+    if f and kc_g:
+        d_tail = take(plan.inv_tail)
+        seg = reduce_copy_segments(
+            jnp.concatenate([d_tail[:, :kc_g], d_tail[:, -1:]], axis=1),
+            plan.seg_base,
+        )
+        red = jnp.concatenate(
+            [red[:, :kc_g] + seg[:, :-1], red[:, kc_g:]], axis=1
+        )
+        if need_cnt:
+            cnt = jnp.maximum(cnt_live + seg[:, -1:], 1.0)
+    elif need_cnt:
+        # a group with no copy-reduced columns still derives the shared
+        # live count once (primary + live-copy rows per splat)
+        if f:
+            lt = take(plan.inv_tail)[:, -1:]
+            cnt = jnp.maximum(
+                cnt_live + reduce_copy_segments(lt, plan.seg_base), 1.0
+            )
+        else:
+            cnt = jnp.maximum(cnt_live, 1.0)
+    if reduce == "mean" and kc_g:
+        # copy-reduced columns average over all live rows; primary-only
+        # columns took exactly one row's delta
+        red = jnp.concatenate(
+            [red[:, :kc_g] / cnt, red[:, kc_g:]], axis=1
+        )
+    folded = m_g + red
+    # split back into leaf shapes INSIDE the jit (host-side slicing
+    # dispatches one copy per leaf while the packed matrix stays alive)
+    outs = []
+    o = 0
+    for l in m_leaves_g:
+        w = 1
+        for s in l.shape[1:]:
+            w *= s
+        outs.append(folded[:, o : o + w].reshape(l.shape))
+        o += w
+    return tuple(outs), cnt
+
+
+_fold_group_jit = partial(jax.jit, static_argnums=(4, 5))(_fold_group_body)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _extract_group_jit(leaves_g, plan, want_packed):
+    n, nh = plan.n, plan.nh
+    mats = [l.reshape(n, -1) for l in leaves_g]
+    src = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=1)
+    pp = jnp.concatenate([src, jnp.zeros_like(src[:1])])
+    home_g = pp[plan.pidx]
+    outs = []
+    o = 0
+    for l in leaves_g:
+        w = 1
+        for s in l.shape[1:]:
+            w *= s
+        outs.append(
+            home_g[:, o : o + w].reshape((nh,) + tuple(l.shape[1:]))
+        )
+        o += w
+    if want_packed:
+        return tuple(outs), home_g
+    return tuple(outs), None
 
 
 # --------------------------------------------------------------------------
@@ -637,18 +695,35 @@ def _lazy_step_cached(cfg, optimizer):
     return _STEP_CACHE[key]
 
 
-@partial(jax.jit, static_argnums=(5, 6), donate_argnums=(2, 3))
-def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, fold_moments,
-              plan):
-    """One packed fold of (params, optimizer state) against the resort
-    snapshot. Module-level so every LazyTrainer instance shares one
-    compiled program. Params always fold through the copy-segment
-    reduction; fold_moments="primary" folds optimizer moments
-    primary-row-only (the segment cumsum then runs at 15 columns instead
-    of 43 — ~100 ms cheaper per resort), "mean" averages them over all
-    live rows like the params (a fat parent's moment estimate then sees
-    every copy's gradient share — measured lower per-resort bias,
-    tools/probe_lazy_drift.py)."""
+def _extract_dispatch(master, plan, want_parts):
+    """Group-wise extract as SEPARATE jit dispatches: device programs
+    serialize, so the peak is one group's temporaries (an in-trace
+    group loop gets overlapped by XLA's scheduler no matter how the
+    groups are gated — measured 14.7 GiB fold peaks at garden scale).
+    Returns (home tree, parts list or None) — `parts` is the resort
+    snapshot, one [NH, w] matrix per group."""
+    leaves, treedef, li, widths = _leaf_info(master, plan.n)
+    out = list(leaves)
+    parts = [] if want_parts else None
+    lp = [leaves[i] for i in li]
+    for l0, l1, c0, c1 in _leaf_groups(widths):
+        outs, home_g = _extract_group_jit(
+            tuple(lp[l0:l1]), plan, want_parts
+        )
+        if want_parts:
+            parts.append(home_g)
+        for j in range(l0, l1):
+            out[li[j]] = outs[j - l0]
+    return jax.tree.unflatten(treedef, out), parts
+
+
+def _fold_dispatch(master, hp, h0_parts, plan, reduce, fold_moments):
+    """Group-wise fold as separate jit dispatches (see
+    _extract_dispatch). Params fold through the copy-segment reduction;
+    fold_moments="primary" folds optimizer moments primary-row-only
+    (the segment cumsum runs at param width only), "mean" averages them
+    like params — a measured DEAD END (diverges; DESIGN.md r5)."""
+    g, opt_state = master
     if fold_moments == "mean":
         copy_cols = None
     else:
@@ -656,14 +731,34 @@ def _fold_jit(g, opt_state, hp, hp_opt, h0_packed, reduce, fold_moments,
             jax.tree.map(lambda _: True, g),
             jax.tree.map(lambda _: False, opt_state),
         )
-    return fold_back(
-        (g, opt_state), (hp, hp_opt), h0_packed, plan, reduce, copy_cols
-    )
-
-
-@partial(jax.jit, static_argnums=(2,))
-def _extract_jit(master, plan, return_packed=True):
-    return extract_home(master, plan, return_packed)
+    m_leaves, m_def, m_li, widths = _leaf_info(master, plan.n)
+    h_leaves = jax.tree.flatten(hp)[0]
+    out = list(m_leaves)
+    for i in range(len(m_leaves)):
+        if i not in m_li:
+            out[i] = h_leaves[i]
+    mp = [m_leaves[i] for i in m_li]
+    hpp = [h_leaves[i] for i in m_li]
+    if copy_cols is None:
+        k_copy = sum(widths)
+    else:
+        cc = jax.tree.flatten(copy_cols)[0]
+        cmask = []
+        for j, i in enumerate(m_li):
+            cmask += [bool(cc[i])] * widths[j]
+        k_copy = sum(cmask)
+        assert all(cmask[:k_copy]) and not any(cmask[k_copy:])
+    cnt = None
+    for gi, (l0, l1, c0, c1) in enumerate(_leaf_groups(widths)):
+        h0_g = h0_parts[gi] if h0_parts is not None else None
+        kc_g = min(max(k_copy - c0, 0), c1 - c0)
+        folded, cnt = _fold_group_jit(
+            tuple(mp[l0:l1]), tuple(hpp[l0:l1]), h0_g, cnt,
+            kc_g, reduce, plan,
+        )
+        for j in range(l0, l1):
+            out[m_li[j]] = folded[j - l0]
+    return jax.tree.unflatten(m_def, out)
 
 
 class LazyTrainer:
@@ -702,12 +797,12 @@ class LazyTrainer:
         self._step = _lazy_step_cached(cfg, optimizer)
 
     def sync(self):
-        """Fold home-space progress back into the master state (one
-        packed reduction over params + both Adam moments)."""
+        """Fold home-space progress back into the master state (packed
+        group reductions over params + both Adam moments)."""
         if self.plan is not None:
-            self.g, self.opt_state = _fold_jit(
-                self.g, self.opt_state, self.hp, self.hp_opt, self._h0,
-                self.reduce, self.fold_moments, self.plan,
+            self.g, self.opt_state = _fold_dispatch(
+                (self.g, self.opt_state), (self.hp, self.hp_opt),
+                self._h0, self.plan, self.reduce, self.fold_moments,
             )
             self.hp = self.hp_opt = self._h0 = None
             self.plan = None
@@ -718,15 +813,9 @@ class LazyTrainer:
         this camera, and re-extract home-resident state."""
         self.sync()
         self.plan = build_frame_plan(self.g, cam, self.cfg)
-        if self.snapshot:
-            (self.hp, self.hp_opt), self._h0 = _extract_jit(
-                (self.g, self.opt_state), self.plan, True
-            )
-        else:
-            self.hp, self.hp_opt = _extract_jit(
-                (self.g, self.opt_state), self.plan, False
-            )
-            self._h0 = None
+        (self.hp, self.hp_opt), self._h0 = _extract_dispatch(
+            (self.g, self.opt_state), self.plan, self.snapshot
+        )
         return self.plan
 
     def step(self, target, cam: Camera):
