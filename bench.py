@@ -222,14 +222,26 @@ def main():
         # long training runs: render each view's target from the clean
         # scene and train a perturbed copy toward it — real gradients,
         # stationary workload (see perturb())
+        import numpy as np
+
         render_t = jax.jit(lambda g, cam: render(g, cam, cfg))
         t0 = time.perf_counter()
-        # garden holds 30 targets + 5M-splat home state: store targets
-        # bf16 (the loss promotes to f32; values shift ~1e-3 relative)
-        tdt = jnp.bfloat16 if args.scene == "garden" else jnp.float32
-        targets = [render_t(g, cam).astype(tdt) for cam in cams]
-        jax.device_get(targets[-1].ravel()[0])
-        black = float(jnp.mean(targets[0] ** 2))
+        # garden cannot keep 30 device targets + the 5M-splat home state
+        # resident: store its targets HOST-side as bf16 and upload one
+        # per view (~12 MB/view, amortized over steps_per_view); bonsai
+        # keeps them on device
+        host_targets = args.scene == "garden"
+        targets = []
+        for cam in cams:
+            t = render_t(g, cam)
+            if host_targets:
+                t = np.asarray(jax.device_get(t), np.float32).astype(
+                    jnp.bfloat16
+                )
+            targets.append(t)
+        if not host_targets:
+            jax.device_get(targets[-1].ravel()[0])
+        black = float(jnp.mean(jnp.asarray(targets[0], jnp.float32) ** 2))
         print(
             f"# targets: {len(targets)} view renders in "
             f"{time.perf_counter() - t0:.1f}s; black-target loss of view 0 "
@@ -238,6 +250,7 @@ def main():
         )
         extra["black_loss0"] = round(black, 5)
         g_train = perturb(g)
+        g = None  # the clean scene's buffers are no longer needed
 
     if lazy_mode:
         ms, extra2 = run_lazy(args, g_train, cams, cfg, opt, targets, jax,
@@ -265,7 +278,7 @@ def run_exact(args, g, cams, cfg, opt, targets, backend, jax, jnp, render):
     TRACED argument: one compile covers every orbit view."""
     import optax
 
-    target = targets[0]
+    target = jnp.asarray(targets[0])
 
     if args.forward_only:
 
@@ -316,7 +329,9 @@ def run_exact(args, g, cams, cfg, opt, targets, backend, jax, jnp, render):
         # one fwd+bwd step at every orbit view
         t0 = time.perf_counter()
         for i, cam in enumerate(cams):
-            g1, opt_state1, loss = step(g1, opt_state1, targets[i], cam)
+            g1, opt_state1, loss = step(
+                g1, opt_state1, jnp.asarray(targets[i]), cam
+            )
         jax.device_get(loss)
         ms = (time.perf_counter() - t0) / len(cams) * 1e3
         return ms, {"views": len(cams), "loss0": round(loss0, 5),
@@ -349,10 +364,11 @@ def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
     # counting it; loss0 of the very first step is the exact-path loss
     # (the post-resort step IS exact)
     t0 = time.perf_counter()
+    tgt0 = jnp.asarray(targets[0])
     tr.resort(cams[0])
-    loss0 = float(jax.device_get(tr.step(targets[0], cams[0])))
+    loss0 = float(jax.device_get(tr.step(tgt0, cams[0])))
     tr.resort(cams[0])  # compiles the fold
-    tr.step(targets[0], cams[0])
+    tr.step(tgt0, cams[0])
     jax.device_get(jax.tree.leaves(tr.hp)[0].ravel()[0])
     compile_s = time.perf_counter() - t0
     print(
@@ -367,12 +383,25 @@ def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
     ovfs = []
     if args.mode == "orbit":
         spv = args.steps_per_view
+        # throttle the async dispatch stream: unsynced, the host races
+        # views ahead and the queued computations' buffers stack up
+        # (measured: garden OOMs mid-orbit). But each sync also exposes
+        # the host's dispatch latency that otherwise hides under device
+        # compute (measured: +25 ms/step on bonsai at sync-every-view),
+        # so sync only as often as memory requires: every view when
+        # targets are host-resident (garden), every 8 views otherwise.
+        import numpy as _np
+
+        sync_every = 1 if isinstance(targets[0], _np.ndarray) else 8
         t0 = time.perf_counter()
         for i, cam in enumerate(cams):
+            tgt = jnp.asarray(targets[i])  # uploads host targets once/view
             tr.resort(cam)
             ovfs.append(tr.plan.ovf)
             for _ in range(spv):
-                loss = tr.step(targets[i], cam)
+                loss = tr.step(tgt, cam)
+            if i % sync_every == sync_every - 1:
+                jax.device_get(loss)
         tr.sync()
         jax.device_get(jax.tree.leaves(tr.g)[0].ravel()[0])
         n_steps = len(cams) * spv
@@ -389,7 +418,8 @@ def run_lazy(args, g, cams, cfg, opt, targets, jax, jnp):
             if s % K == 0:
                 tr.resort(cam)
                 ovfs.append(tr.plan.ovf)
-            loss = tr.step(targets[0], cam)
+                jax.device_get(tr.plan.ty0)  # dispatch throttle (see orbit)
+            loss = tr.step(tgt0, cam)
         tr.sync()
         jax.device_get(jax.tree.leaves(tr.g)[0].ravel()[0])
         ms = (time.perf_counter() - t0) / n_steps * 1e3
