@@ -108,7 +108,12 @@ def main():
 
     import numpy as np
 
-    def run_equalized(d, row_weight, dmach=None, label=""):
+    def run_equalized(d, row_weight, dmach=None, label="",
+                      per_band_blkw=False):
+        import dataclasses
+
+        from gsjax.core.autotune import _band_worst_block, _round_up
+
         cuts = derive_row_cuts(g, cam, base_cfg, d, m=m,
                                row_weight=row_weight)
         rows_d = [cuts[i + 1] - cuts[i] for i in range(d)]
@@ -116,19 +121,59 @@ def main():
         bands = list(zip(cuts[:-1], rows_d))
         cfg_e = derive_shard_caps(g, cam, base_cfg, bands=bands, m=m)
         if dmach:
-            import dataclasses
-
             cfg_e = dataclasses.replace(cfg_e, stream_dma_chunk=dmach)
         print(f"# D={d}{label} cuts={cuts} caps: "
               f"prefilter={cfg_e.shard_prefilter_cap} "
               f"slice={cfg_e.shard_slice_cap} pairs={cfg_e.pair_cap} "
               f"dmach={cfg_e.stream_dma_chunk}",
               flush=True)
-        plans = [
-            (lambda t=t, r=r: build_band_plan(g, cam, cfg_e, t, band_max, r))
-            for t, r in bands
-        ]
-        return rows_d, time_steps(cfg_e, plans, band_max)
+        if not per_band_blkw:
+            plans = [
+                (lambda t=t, r=r: build_band_plan(
+                    g, cam, cfg_e, t, band_max, r))
+                for t, r in bands
+            ]
+            return rows_d, time_steps(cfg_e, plans, band_max)
+        # per-band block widths: the row-proportional step cost is the
+        # per-touched-block band DMA/flush, so a sparse band can take a
+        # WIDE block (fewer blocks/row) while the dense band keeps the
+        # narrow one that fits VMEM. Per-band cfg → per-band compiles.
+        import numpy as np_
+
+        seg = m["seg"]
+        tiles_x, tiles_y = m["tiles_x"], m["tiles_y"]
+        dmc = cfg_e.stream_dma_chunk
+        cap_budget = (25 * 2**19) // (32 * 2 + 2 * 16 * 4)
+        cap_budget = (cap_budget // dmc) * dmc
+        res = []
+        for ty0, rows in bands:
+            # band-local worst block: zero out rows outside the band's
+            # halo range so _band_worst_block only sees its rows
+            r0, r1 = max(ty0 - 1, 0), min(ty0 + rows + 1, tiles_y)
+            segb = seg.copy()
+            segb[: r0 * tiles_x] = seg[r0 * tiles_x]
+            segb[r1 * tiles_x :] = seg[r1 * tiles_x]
+            blkw, worst = cfg_e.stream_block_tiles, None
+            for w in (14, 12, 10, 8, cfg_e.stream_block_tiles):
+                wb = _band_worst_block(segb, tiles_x, tiles_y, w, dmc)
+                if _round_up(int(wb), dmc) <= cap_budget:
+                    blkw, worst = w, wb
+                    break
+            # fixed band_cap (the budget max) so bands sharing a blkw
+            # share one compiled program; the cap only bounds truncation
+            band_cap = cap_budget
+            cfg_b = dataclasses.replace(
+                cfg_e, stream_block_tiles=blkw, stream_band_cap=band_cap
+            )
+            print(f"#   band ty0={ty0} rows={rows}: blkw={blkw} "
+                  f"band_cap={band_cap}", flush=True)
+            res += time_steps(
+                cfg_b,
+                [lambda t=ty0, r=rows, c=cfg_b: build_band_plan(
+                    g, cam, c, t, band_max, r)],
+                band_max,
+            )
+        return rows_d, res
 
     def report(d, res, label=""):
         ms = [r[0] for r in res]
@@ -178,6 +223,11 @@ def main():
                   f"ms → row_weight {rw:,.0f} cand/row", flush=True)
             rows_d, res = run_equalized(d, rw, label=f" row-weighted it{it}")
             report(d, res, f" row-weighted it{it}")
+        # per-band block widths on the final cuts (sparse bands take
+        # wide blocks → fewer per-row DMA/flush fixed costs)
+        _, res4 = run_equalized(d, rw, label=" rw+band-blkw",
+                                per_band_blkw=True)
+        report(d, res4, " rw+band-blkw")
 
 
 if __name__ == "__main__":
