@@ -128,6 +128,12 @@ def main():
         "aux and must be 0 for an honest run",
     )
     ap.add_argument(
+        "--oh-cache",
+        action="store_true",
+        help="stream_oh_cache=True: the backward scatter reuses the "
+        "gather rounds' one-hot matrices from a VMEM cache",
+    )
+    ap.add_argument(
         "--no-autotune",
         action="store_true",
         help="skip the occupancy pre-pass (use raw config defaults)",
@@ -174,6 +180,7 @@ def main():
             chunk=128,
             pair_cap=args.pair_cap or None,
             stream_exact_table=args.exact,
+            stream_oh_cache=args.oh_cache,
         )
 
     if args.scene == "garden":

@@ -246,7 +246,12 @@ def derive_caps(
     # double-buffers + kernel stack (measured: 61440 rows at 48-row
     # tables = 16.07M > the 16M scoped limit — a 14 MB budget was 76 KB
     # short), so budget 12.5 MB for the cap-proportional part
-    cap_budget = (25 * 2**19) // (vmem_rows * 2 + 2 * 16 * 4)
+    vmem_budget = 25 * 2**19
+    if cfg.stream_oh_cache:
+        # the backward's one-hot cache scratch comes out of the same
+        # VMEM pool ([9·chunk, 128] bf16)
+        vmem_budget -= 9 * cfg.chunk * 128 * 2
+    cap_budget = vmem_budget // (vmem_rows * 2 + 2 * 16 * 4)
     cap_budget = (cap_budget // dmach) * dmach
     while True:
         worst = max(

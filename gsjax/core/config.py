@@ -136,6 +136,12 @@ class RenderConfig:
     # grid overhead (~82% of slots are skipped by early termination at
     # the 1080p bench — see render/DESIGN.md)
     stream_unroll: int = 4
+    # backward kernel: cache the gather rounds' one-hot matrices in a
+    # [9·chunk, 128] bf16 VMEM scratch so the transposed grad scatter
+    # reuses them instead of rebuilding identical compare chains
+    # (+288 KB VMEM at chunk=128; autotune deducts it from the band
+    # budget)
+    stream_oh_cache: bool = False
 
     def tiles_x(self, width: int) -> int:
         return -(-width // self.tile_size)

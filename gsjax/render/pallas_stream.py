@@ -414,7 +414,7 @@ def _spill_params(i, los, cums):
 
 def _gather_att(
     los, cums, blktab_ref, blk, band_ref, sid, cls, chunk, k_slots,
-    dmach, cap, origin, tab_rows,
+    dmach, cap, origin, tab_rows, oh_ref=None,
 ):
     """One-hot MXU gather of this chunk's pair attributes over per-CLASS
     windows: onehot[pair, lane] = (sid == window row) & (cls == c).
@@ -430,12 +430,17 @@ def _gather_att(
     a pure per-pair function of `cls`, no routing through the one-hot.
     `origin` = (tile_origin_x, tile_origin_y, tile_size). Returns
     [chunk, 9] f32 attributes (dead/out-of-window/cap-truncated rows get
-    zero opacity and are never eligible)."""
+    zero opacity and are never eligible).
+
+    `oh_ref` ([k_slots·chunk, WINW] bf16 VMEM): when given, the static
+    rounds STORE their one-hot matrices so the backward's transposed
+    scatter can reuse them instead of rebuilding the identical
+    compare/select chains (cfg.stream_oh_cache)."""
     tox, toy, ts = origin
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     acc = jnp.zeros((chunk, tab_rows), jnp.float32)
 
-    def round_(acc, lo_s, w_i, m_cls):
+    def round_(acc, lo_s, w_i, m_cls, store_c=None):
         ids = lo_s + w_i * WINW + lane  # global home rows
         off, end = _win_to_scratch(blktab_ref, blk, lo_s)
         ok = off + w_i * WINW + WINW <= end  # cap truncation guard
@@ -444,6 +449,8 @@ def _gather_att(
             jnp.where(ok, 1.0, 0.0),
             0.0,
         ).astype(jnp.bfloat16)  # [chunk, WINW]
+        if store_c is not None and oh_ref is not None:
+            oh_ref[pl.ds(store_c * chunk, chunk), :] = oh
         start = jnp.clip(off + w_i * WINW, 0, cap - WINW)
         w = band_ref[:, pl.ds(pl.multiple_of(start, WINW), WINW)]
         return acc + jax.lax.dot_general(
@@ -454,7 +461,7 @@ def _gather_att(
         )
 
     for c in range(k_slots):
-        acc = round_(acc, los[c], 0, cls == c)
+        acc = round_(acc, los[c], 0, cls == c, store_c=c)
 
     def spill(i, acc):
         lo_s, ci, w_i = _spill_params(i, los, cums)
@@ -477,14 +484,17 @@ def _gather_att(
 
 def _scatter_grad(
     los, cums, blktab_ref, blk, dcand_ref, sid, cls, datt, chunk, k_slots,
-    dmach, cap,
+    dmach, cap, oh_ref=None,
 ):
     """Transposed one-hot MXU scatter over per-CLASS windows (same round
     structure as _gather_att): accumulate datt [chunk, 9] into the
     band-shaped gradient scratch (hi/lo bf16 split keeps ~16 mantissa
     bits through the MXU). Empty-class rounds RMW an all-zero update
     into slice 0 — harmless; the rounds are sequential so overlapping
-    slices accumulate correctly."""
+    slices accumulate correctly. With `oh_ref`, the static rounds READ
+    the one-hot matrices _gather_att stored this sub-slot instead of
+    rebuilding them (the r4 ablation put the scatter rounds at ~40% of
+    the backward kernel; the one-hot build is their VPU half)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
     dpad = jnp.concatenate(
         [datt, jnp.zeros((chunk, GRAD_ROWS - ATT_COLS), jnp.float32)], axis=1
@@ -496,15 +506,18 @@ def _scatter_grad(
     # dim regardless, so the halves ride along free), summed after
     dhl = jnp.concatenate([dh, dl], axis=1)  # [chunk, 32] bf16
 
-    def round_(lo_s, w_i, m_cls):
-        ids = lo_s + w_i * WINW + lane  # global home rows
+    def round_(lo_s, w_i, m_cls, load_c=None):
         off, end = _win_to_scratch(blktab_ref, blk, lo_s)
-        ok = off + w_i * WINW + WINW <= end
-        oh = jnp.where(
-            jnp.logical_and(m_cls, sid == ids),
-            jnp.where(ok, 1.0, 0.0),
-            0.0,
-        ).astype(jnp.bfloat16)  # [chunk, WINW]
+        if load_c is not None and oh_ref is not None:
+            oh = oh_ref[pl.ds(load_c * chunk, chunk), :]
+        else:
+            ids = lo_s + w_i * WINW + lane  # global home rows
+            ok = off + w_i * WINW + WINW <= end
+            oh = jnp.where(
+                jnp.logical_and(m_cls, sid == ids),
+                jnp.where(ok, 1.0, 0.0),
+                0.0,
+            ).astype(jnp.bfloat16)  # [chunk, WINW]
         u2 = jax.lax.dot_general(
             dhl,
             oh,
@@ -517,7 +530,7 @@ def _scatter_grad(
         dcand_ref[:, sl] = dcand_ref[:, sl] + upd
 
     for c in range(k_slots):
-        round_(los[c], 0, cls == c)
+        round_(los[c], 0, cls == c, load_c=c)
 
     def spill(i, _):
         lo_s, ci, w_i = _spill_params(i, los, cums)
@@ -688,7 +701,7 @@ def _stream_bwd_kernel(
     sem,
     gsem,
     cur_ref,  # SMEM [2] i32
-    *,
+    *maybe_ohc,  # optional VMEM [k_slots·chunk, WINW] bf16 one-hot cache
     ts: int,
     chunk: int,
     k_slots: int,
@@ -703,6 +716,7 @@ def _stream_bwd_kernel(
     tab_rows: int,
 ):
     del dzero_any  # aliased storage; all access goes through dgrad_any
+    ohc_ref = maybe_ohc[0] if maybe_ohc else None
     n_px = ts * ts
     js = pl.program_id(0)
     g = pl.num_programs(0) - 1 - js  # slot group, descending
@@ -851,6 +865,7 @@ def _stream_bwd_kernel(
                 att = _gather_att(
                     los, cums, blktab_ref, blk, band_ref, sid, cls,
                     chunk, k_slots, dmach, cap, origin, tab_rows,
+                    oh_ref=ohc_ref,
                 )
 
             ct_img = ct_ref[0, 0:3, :]
@@ -914,7 +929,7 @@ def _stream_bwd_kernel(
             if "scatter" not in _ABLATE:
                 _scatter_grad(
                     los, cums, blktab_ref, blk, dcand_ref, sid, cls, datt,
-                    chunk, k_slots, dmach, cap,
+                    chunk, k_slots, dmach, cap, oh_ref=ohc_ref,
                 )
 
             state_ref[0] = jnp.concatenate(
@@ -1089,7 +1104,12 @@ def _bwd_call(att_tab, pidwin, blktab, starts, cbase, tile_of, ty0,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((2,), jnp.int32),
-        ],
+        ]
+        + (
+            [pltpu.VMEM((k_slots * cfg.chunk, WINW), jnp.bfloat16)]
+            if cfg.stream_oh_cache
+            else []
+        ),
     )
     dgrad, _state = pl.pallas_call(
         kernel,

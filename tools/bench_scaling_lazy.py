@@ -147,26 +147,39 @@ def main():
         cap_budget = (cap_budget // dmc) * dmc
         res = []
         for ty0, rows in bands:
-            # band-local worst block: zero out rows outside the band's
-            # halo range so _band_worst_block only sees its rows
+            # band-local worst block pre-screen (full-image occupancy:
+            # an ESTIMATE — it measured ~30% short on one band), then
+            # gate on the ACTUAL plan's overflow counter, falling back
+            # to narrower blocks
             r0, r1 = max(ty0 - 1, 0), min(ty0 + rows + 1, tiles_y)
             segb = seg.copy()
             segb[: r0 * tiles_x] = seg[r0 * tiles_x]
             segb[r1 * tiles_x :] = seg[r1 * tiles_x]
-            blkw, worst = cfg_e.stream_block_tiles, None
-            for w in (14, 12, 10, 8, cfg_e.stream_block_tiles):
-                wb = _band_worst_block(segb, tiles_x, tiles_y, w, dmc)
-                if _round_up(int(wb), dmc) <= cap_budget:
-                    blkw, worst = w, wb
+            base_w = cfg_e.stream_block_tiles
+            cands = [
+                w for w in (14, 12, 10, 8)
+                if w > base_w
+                and _round_up(
+                    int(_band_worst_block(segb, tiles_x, tiles_y, w, dmc)),
+                    dmc,
+                ) <= cap_budget
+            ] + [base_w]
+            for blkw in cands:
+                cfg_b = dataclasses.replace(
+                    cfg_e,
+                    stream_block_tiles=blkw,
+                    # fixed budget-max cap: bands sharing a blkw share
+                    # one compiled program
+                    stream_band_cap=cap_budget,
+                )
+                plan = build_band_plan(g, cam, cfg_b, ty0, band_max, rows)
+                ovfb = int(jax.device_get(plan.ovf["n_band_overflow"]))
+                if ovfb == 0:
                     break
-            # fixed band_cap (the budget max) so bands sharing a blkw
-            # share one compiled program; the cap only bounds truncation
-            band_cap = cap_budget
-            cfg_b = dataclasses.replace(
-                cfg_e, stream_block_tiles=blkw, stream_band_cap=band_cap
-            )
-            print(f"#   band ty0={ty0} rows={rows}: blkw={blkw} "
-                  f"band_cap={band_cap}", flush=True)
+                print(f"#   band ty0={ty0}: blkw={blkw} overflows "
+                      f"{ovfb} rows — narrowing", flush=True)
+            print(f"#   band ty0={ty0} rows={rows}: blkw={blkw}",
+                  flush=True)
             res += time_steps(
                 cfg_b,
                 [lambda t=ty0, r=rows, c=cfg_b: build_band_plan(
