@@ -210,3 +210,27 @@ def test_stream_exact_table_matches_xla_tight(rng):
     d = np.abs(ix - np.asarray(s))
     # only transmittance-product accumulation order differs
     assert d.max() < 2e-5, d.max()
+
+
+def test_stream_oh_cache_grads_bit_equal(rng):
+    """stream_oh_cache=True: the backward's transposed scatter reuses
+    the one-hot matrices the in-kernel gather rounds stored in a VMEM
+    scratch instead of rebuilding the identical compare chains. The
+    cached values ARE the rebuilt values, so gradients must be
+    BIT-EQUAL to the uncached backward — any mismatch means the cache
+    slot/round bookkeeping is wrong, not a tolerance question."""
+    g = make_random_scene(rng, n=300, sh_degree=1, spread=1.2, z_range=(3.0, 8.0))
+    cam = _cams(96, 64)
+    tgt = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)), jnp.float32)
+    _, cfg_s = _cfgs()
+    cfg_c = dataclasses.replace(cfg_s, stream_oh_cache=True)
+
+    def loss(g, cfg):
+        img = render(g, cam, cfg)
+        return jnp.mean((img - tgt) ** 2)
+
+    g0 = jax.grad(lambda g: loss(g, cfg_s))(g)
+    g1 = jax.grad(lambda g: loss(g, cfg_c))(g)
+    for f in ["means", "log_scales", "quats", "sh", "opacity_logits"]:
+        a, b = np.asarray(getattr(g0, f)), np.asarray(getattr(g1, f))
+        assert np.array_equal(a, b), (f, np.abs(a - b).max())

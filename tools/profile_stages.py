@@ -179,6 +179,7 @@ def profile_stream():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--pair-cap", type=int, default=None)
+    ap.add_argument("--oh-cache", action="store_true")
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -200,7 +201,8 @@ def profile_stream():
     from gsjax.render.project import project
 
     cfg = RenderConfig(backend="stream", chunk=args.chunk,
-                       pair_cap=args.pair_cap)
+                       pair_cap=args.pair_cap,
+                       stream_oh_cache=args.oh_cache)
     g = bonsai_like(n=args.n)
     cam = bench_camera(width=W, height=H)
 
