@@ -30,6 +30,19 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--resort-every", type=int, default=16)
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 8])
+    ap.add_argument(
+        "--row-weight", type=float, default=None,
+        help="skip the equal-cand run + fit iterations and cut directly "
+        "with this row_weight (cand/row; the r5 fitted value is ~322892)",
+    )
+    ap.add_argument(
+        "--band-caps", action="store_true",
+        help="final variant derives PER-BAND prefilter/slice/pair caps "
+        "(derive_shard_caps on the single band) on top of per-band "
+        "block widths — cuts the candidate-independent base "
+        "(project+table+adam over the shared worst-band slice cap) for "
+        "the sparse edge bands; one compile per distinct cap tuple",
+    )
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -109,7 +122,7 @@ def main():
     import numpy as np
 
     def run_equalized(d, row_weight, dmach=None, label="",
-                      per_band_blkw=False):
+                      per_band_blkw=False, per_band_caps=False):
         import dataclasses
 
         from gsjax.core.autotune import _band_worst_block, _round_up
@@ -147,6 +160,25 @@ def main():
         cap_budget = (cap_budget // dmc) * dmc
         res = []
         for ty0, rows in bands:
+            cfg_band = cfg_e
+            if per_band_caps:
+                # this band's OWN prefilter/slice/pair caps: the lazy
+                # step's candidate-independent base (project + table +
+                # adam) runs over the static slice cap, which the shared
+                # worst-band cap sets ~2× too big for the sparse edge
+                # bands — exactly the bands the row-weighted cuts made
+                # worst-device
+                cfg_band = derive_shard_caps(
+                    g, cam, base_cfg, bands=[(ty0, rows)], m=m
+                )
+                if dmach:
+                    cfg_band = dataclasses.replace(
+                        cfg_band, stream_dma_chunk=dmach
+                    )
+                print(f"#   band ty0={ty0} caps: "
+                      f"prefilter={cfg_band.shard_prefilter_cap} "
+                      f"slice={cfg_band.shard_slice_cap} "
+                      f"pairs={cfg_band.pair_cap}", flush=True)
             # band-local worst block pre-screen (full-image occupancy:
             # an ESTIMATE — it measured ~30% short on one band), then
             # gate on the ACTUAL plan's overflow counter, falling back
@@ -155,7 +187,7 @@ def main():
             segb = seg.copy()
             segb[: r0 * tiles_x] = seg[r0 * tiles_x]
             segb[r1 * tiles_x :] = seg[r1 * tiles_x]
-            base_w = cfg_e.stream_block_tiles
+            base_w = cfg_band.stream_block_tiles
             cands = [
                 w for w in (14, 12, 10, 8)
                 if w > base_w
@@ -166,7 +198,7 @@ def main():
             ] + [base_w]
             for blkw in cands:
                 cfg_b = dataclasses.replace(
-                    cfg_e,
+                    cfg_band,
                     stream_block_tiles=blkw,
                     # fixed budget-max cap: bands sharing a blkw share
                     # one compiled program
@@ -212,6 +244,16 @@ def main():
             ms0, rs0 = res[0]
             base, base_am = ms0, ms0 + rs0 / K
             report(d, res)
+            continue
+        if args.row_weight is not None:
+            rw = args.row_weight
+            _, res4 = run_equalized(
+                d, rw,
+                label=" rw+band-blkw" + ("+caps" if args.band_caps else ""),
+                per_band_blkw=True, per_band_caps=args.band_caps,
+            )
+            report(d, res4,
+                   " rw+band-blkw" + ("+caps" if args.band_caps else ""))
             continue
         rows_d, res = run_equalized(d, 0.0)
         report(d, res, " equal-cand")
