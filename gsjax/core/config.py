@@ -140,7 +140,10 @@ class RenderConfig:
     # [9·chunk, 128] bf16 VMEM scratch so the transposed grad scatter
     # reuses them instead of rebuilding identical compare chains
     # (+288 KB VMEM at chunk=128; autotune deducts it from the band
-    # budget)
+    # budget). MEASURED NO WIN (bwd 71.0 -> 71.5 ms: the compiler
+    # already CSEs the identical compare chains within the kernel
+    # trace — DESIGN.md dead ends); kept off by default, covered by a
+    # bit-equal-gradient test.
     stream_oh_cache: bool = False
 
     def tiles_x(self, width: int) -> int:
